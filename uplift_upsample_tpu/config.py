@@ -1,0 +1,199 @@
+"""Layered configuration system.
+
+Mirrors the reference semantics (reference `common/utils/config.py:21-111` and
+`common/net/uplift_upsample_transformer_config.py:13-106`): class-attribute
+defaults, overlaid by a JSON (or `KEY <json-value>` text) file, then by CLI
+overrides; the fully-resolved config can be dumped to JSON for archiving.
+
+The key registry is intentionally identical to the reference's so that the
+published `config/*.json` files load unchanged.
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+import os
+from typing import Any, Dict, Optional
+
+
+class Config:
+    """Base config: class attributes are defaults; instances carry overrides."""
+
+    def __init__(self, config_file: Optional[str] = None, file_mode: Optional[str] = None):
+        if config_file is not None:
+            self.load(config_file, file_mode)
+
+    # -- introspection ------------------------------------------------------
+
+    def keys(self):
+        seen = []
+        for klass in type(self).__mro__:
+            for name in vars(klass):
+                if name.startswith("_") or callable(getattr(self, name)):
+                    continue
+                if name not in seen:
+                    seen.append(name)
+        for name in vars(self):
+            if not name.startswith("_") and name not in seen:
+                seen.append(name)
+        return sorted(seen)
+
+    def to_dict(self) -> Dict[str, Any]:
+        out = {}
+        for key in self.keys():
+            value = getattr(self, key)
+            if hasattr(value, "tolist"):
+                value = value.tolist()
+            out[key] = value
+        return out
+
+    def display(self) -> None:
+        print("\nConfigurations:")
+        for key in self.keys():
+            print(f"{key:30} {getattr(self, key)}")
+        print()
+
+    def copy(self) -> "Config":
+        new = type(self)()
+        for key in self.keys():
+            setattr(new, key, copy.deepcopy(getattr(self, key)))
+        return new
+
+    # -- file IO ------------------------------------------------------------
+
+    def load(self, config_file: str, file_mode: Optional[str] = None) -> None:
+        if not os.path.exists(config_file):
+            raise FileNotFoundError(config_file)
+        if file_mode is None:
+            ext = os.path.splitext(config_file)[1]
+            if ext not in (".txt", ".json"):
+                raise ValueError(f"Cannot infer config format from extension: {ext!r}")
+            file_mode = "txt" if ext == ".txt" else "json"
+
+        if file_mode == "txt":
+            with open(config_file) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line or line.startswith("#"):
+                        continue
+                    parts = line.split(" ", maxsplit=1)
+                    if len(parts) == 2 and parts[1]:
+                        literal = parts[1].strip().replace("'", '"')
+                        setattr(self, parts[0], json.loads(literal))
+        else:
+            with open(config_file) as f:
+                for key, value in json.load(f).items():
+                    setattr(self, key, value)
+
+    def dump(self, config_file: str) -> None:
+        with open(config_file, "w") as f:
+            json.dump(self.to_dict(), f, indent=4, sort_keys=True)
+
+    def update_from(self, overrides: Dict[str, Any]) -> None:
+        for key, value in overrides.items():
+            setattr(self, key, value)
+
+
+class UpliftUpsampleConfig(Config):
+    """Full hyperparameter registry for the uplift-upsample transformer.
+
+    Defaults match reference `uplift_upsample_transformer_config.py:13-106`.
+    """
+
+    # Execution
+    GPU_ID = 0
+    BATCH_SIZE = 256
+
+    ARCH = "UpliftUpsampleTransformer"
+
+    SHUFFLE_SEED = 0
+
+    SPATIAL_EMBED_DIM = 32
+    TEMPORAL_EMBED_DIM = 348
+
+    MLP_RATIO = 2
+    NUM_HEADS = 8
+    SPATIAL_TRANSFORMER_BLOCKS = 4
+    TEMPORAL_TRANSFORMER_BLOCKS = 4
+    STRIDES = [3, 3, 3]
+    PADDINGS = None  # None means [[1, 1]] per strided block
+    QKV_BIAS = True
+    DROP_PATH_RATE = [0.1, 0.1, 0.0]
+    DROP_RATE = 0.0
+    ATTENTION_DROP_RATE = 0.0
+    OUTPUT_BN = False
+
+    # Refine module
+    USE_REFINE = False
+    REFINE_FC_SIZE = 1024
+    REFINE_DROP_RATE = 0.5
+
+    # Token masking
+    TOKEN_MASK_RATE = 0.0
+    LEARNABLE_MASKED_TOKEN = False
+
+    # Objective
+    NUM_KEYPOINTS = 17
+    SEQUENCE_LENGTH = 27
+    PADDING_TYPE = "copy"
+    SEQUENCE_STRIDE = 1
+    TEST_STRIDED_EVAL = True
+
+    MASK_STRIDE = None
+    STRIDE_MASK_RAND_SHIFT = False
+    FIRST_STRIDED_TOKEN_ATTENTION_LAYER = 0
+
+    LOSS_WEIGHT_SEQUENCE = 1.0
+    LOSS_WEIGHT_CENTER = 1.0
+
+    # Data handling and augmentation (ROOT_KEYTPOINT typo kept for file compat)
+    ROOT_KEYTPOINT = 6
+
+    AUGM_FLIP_KEYPOINT_ORDER = [5, 4, 3, 2, 1, 0, 6, 7, 8, 9, 10, 16, 15, 14, 13, 12, 11]
+    AUGM_FLIP_PROB = 0.5
+    IN_BATCH_AUGMENT = False
+
+    # Training
+    EPOCHS = 120
+    STEPS_PER_EPOCH = 6000
+
+    DATASET_TRAIN_3D_SUBSAMPLE_STEP = 1
+    DATASET_VAL_3D_SUBSAMPLE_STEP = 4
+    DATASET_TEST_3D_SUBSAMPLE_STEP = 1
+
+    # Validation
+    VALIDATION_INTERVAL = 1
+    VALIDATION_EXAMPLES = -1
+    EVAL_FLIP = True
+    EVAL_DISABLE_LEARNED_UPSAMPLING = False
+
+    # Optimizer and schedule
+    OPTIMIZER = "Adam"
+    OPTIMIZER_PARAMS = {"amsgrad": True, "epsilon": 1e-08}
+
+    SCHEDULE = "ExponentialDecayWithSteps"
+    SCHEDULE_PARAMS = {
+        "initial_learning_rate": 1e-3,
+        "decay_steps": 12000,
+        "decay_rate": 0.95,
+        "large_decay_steps": 60000,
+        "large_decay_rate": 0.5,
+    }
+    WEIGHT_DECAY = None
+
+    EMA_ENABLED = False
+    EMA_DECAY = None
+
+    # Checkpoints
+    CHECKPOINT_INTERVAL = 10
+    BEST_CHECKPOINT_METRIC = "AW-MPJPE"
+
+    # -- TPU-native extensions (not present in the reference) ---------------
+    # Compute dtype for the forward pass: "float32" (bit-parity eval) or
+    # "bfloat16" (throughput). Params are always stored in float32.
+    COMPUTE_DTYPE = "float32"
+    # Use the fused Pallas attention kernel where shapes allow.
+    USE_PALLAS_ATTENTION = False
+    # Data-parallel devices to use (-1: all visible devices).
+    DATA_PARALLEL_DEVICES = -1

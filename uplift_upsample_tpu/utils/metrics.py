@@ -1,0 +1,113 @@
+"""3D pose metrics (numpy, float64 on host).
+
+MPJPE / N-MPJPE / PA-MPJPE with per-joint valid flags, matching reference
+`metrics.py:13-201`. Metrics deliberately stay on host in float64 — TPUs have
+no fast f64, and the published numbers are computed in double precision.
+
+GT arrays are (B, K, 4) in (x, y, z, valid) format; predictions are (B, K, 3).
+With `normalize=False` the per-example per-joint distances are returned, with
+-1 marking invalid GT joints.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def mpjpe(pred, gt, root_index, normalize=True):
+    """Root-aligned mean per-joint position error."""
+    gt3d = gt[:, :, :3]
+    valid = gt[:, :, 3] > 0
+    gt3d = gt3d - gt3d[:, [root_index], :]
+    pred3d = pred - pred[:, [root_index], :]
+    dist = np.linalg.norm(pred3d - gt3d, ord=2, axis=-1)
+    if not normalize:
+        return np.where(valid, dist, -1.0)
+    return np.sum(np.where(valid, dist, 0.0)) / float(np.sum(valid))
+
+
+def optimal_scaling(pred3d, target3d, valid_mask):
+    """Per-example least-squares scale factor s minimizing ||s*pred - target||²."""
+    v = valid_mask[:, :, np.newaxis]
+    tm, pm = target3d * v, pred3d * v
+    nom = np.sum(pm * tm, axis=(1, 2))
+    denom = np.sum(pm * pm, axis=(1, 2))
+    return pred3d * (nom / denom)[:, np.newaxis, np.newaxis]
+
+
+def nmpjpe(pred, gt, root_index, alignment="root", normalize=True):
+    """Scale-normalized MPJPE with root or mean alignment."""
+    gt3d = gt[:, :, :3]
+    valid = gt[:, :, 3] > 0
+
+    if alignment == "mean":
+        normalizer = np.sum(valid, axis=1)
+        v = valid[:, :, np.newaxis]
+        gt3d = gt3d - (np.sum(gt3d * v, axis=1) / normalizer[:, np.newaxis])[:, np.newaxis, :]
+        pred3d = pred - (np.sum(pred * v, axis=1) / normalizer[:, np.newaxis])[:, np.newaxis, :]
+    else:
+        gt3d = gt3d - gt3d[:, [root_index], :]
+        pred3d = pred - pred[:, [root_index], :]
+
+    pred3d = optimal_scaling(pred3d=pred3d, target3d=gt3d, valid_mask=valid)
+    dist = np.linalg.norm(pred3d - gt3d, ord=2, axis=-1)
+    if not normalize:
+        return np.where(valid, dist, -1.0)
+    return np.sum(np.where(valid, dist, 0.0)) / float(np.sum(valid))
+
+
+def compute_similarity_transform(X, Y, compute_optimal_scale=True):
+    """Procrustes alignment of Y onto X (MATLAB `procrustes` semantics).
+
+    Returns (d, Z, T, b, c): squared error, transformed Y, rotation, scale,
+    translation.
+    """
+    muX, muY = X.mean(axis=0), Y.mean(axis=0)
+    X0, Y0 = X - muX, Y - muY
+
+    normX = np.sqrt(np.square(X0).sum())
+    normY = np.sqrt(np.square(Y0).sum())
+    X0, Y0 = X0 / normX, Y0 / normY
+
+    A = X0.T @ Y0
+    U, s, Vt = np.linalg.svd(A, full_matrices=False)
+    V = Vt.T
+    T = V @ U.T
+
+    # Reflection guard: force det(T) = +1
+    detT = np.linalg.det(T)
+    V[:, -1] *= np.sign(detT)
+    s[-1] *= np.sign(detT)
+    T = V @ U.T
+
+    traceTA = s.sum()
+    if compute_optimal_scale:
+        b = traceTA * normX / normY
+        d = 1 - np.square(traceTA)
+        Z = normX * traceTA * (Y0 @ T) + muX
+    else:
+        b = 1
+        d = 1 + np.square(Y0).sum() / np.square(X0).sum() - 2 * traceTA * normY / normX
+        Z = normY * (Y0 @ T) + muX
+    c = muX - b * (muY @ T)
+    return d, Z, T, b, c
+
+
+def pmpjpe(pred, gt, normalize=True):
+    """Procrustes-aligned MPJPE (optimal rotation + scale + translation)."""
+    gt3d = gt[:, :, :3]
+    valid = gt[:, :, 3] > 0
+
+    aligned = np.empty_like(pred)
+    for i, (p, g) in enumerate(zip(pred, gt3d)):
+        try:
+            _, p_aligned, _, _, _ = compute_similarity_transform(X=g, Y=p, compute_optimal_scale=True)
+            aligned[i] = p_aligned
+        except np.linalg.LinAlgError:
+            print("Warning: SVD did not converge during PAMPJPE")
+            aligned[i] = p
+
+    dist = np.linalg.norm(aligned - gt3d, ord=2, axis=-1)
+    if not normalize:
+        return np.where(valid, dist, -1.0)
+    return np.sum(np.where(valid, dist, 0.0)) / float(np.sum(valid))
