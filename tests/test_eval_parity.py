@@ -1,0 +1,47 @@
+"""End-to-end eval-harness parity vs reference eval.py (fixture-based).
+
+The fixture (tools/make_eval_fixture.py) records the reference pipeline's
+printed metrics on synthetic data with fixture weights. The same eval through
+the new harness must reproduce them to within float32-forward noise (~0.03mm
+at these random-weight magnitudes).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from uplift_upsample_tpu.config import UpliftUpsampleConfig
+from uplift_upsample_tpu.eval import run_eval
+
+FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures")
+SYNTH_DIR = os.path.join(FIXTURE_DIR, "synth")
+
+
+@pytest.mark.parametrize("mask_stride", [5, 10])
+def test_eval_parity(mask_stride):
+    ref_path = os.path.join(FIXTURE_DIR, "eval_parity.json")
+    if not os.path.exists(ref_path):
+        pytest.skip("run tools/make_eval_fixture.py")
+    with open(ref_path) as f:
+        ref = json.load(f)[str(mask_stride)]
+
+    config = UpliftUpsampleConfig(
+        config_file=os.path.join(FIXTURE_DIR, "eval_small_config.json"))
+    config.MASK_STRIDE = mask_stride
+
+    all_frames, keyframes = run_eval(
+        config=config, dataset_name="h36m",
+        dataset_path=os.path.join(SYNTH_DIR, "data_3d_h36m.npz"),
+        dataset2d_path=os.path.join(SYNTH_DIR, "data_2d_h36m_synth.npz"),
+        test_subset="test",
+        weights_path=os.path.join(FIXTURE_DIR, "small_strided.h5"),
+        action_wise=True, verbose=False)
+
+    for section, mine in (("all_frames", all_frames), ("keyframes", keyframes)):
+        frame_results = mine[0]
+        for metric, ref_value in ref[section]["frame"].items():
+            np.testing.assert_allclose(
+                frame_results[metric], ref_value, atol=5e-2, rtol=1e-4,
+                err_msg=f"{section}/{metric} (mask_stride={mask_stride})")

@@ -1,0 +1,232 @@
+"""Evaluation harness + CLI (parity with reference `eval.py`).
+
+Protocol: one window per test frame (subsample = DATASET_TEST_3D_SUBSAMPLE_STEP,
+global stride-mask alignment, no shuffle), central-frame prediction per window,
+optional flip-TTA (averaged inside one jitted step), linear interpolation of
+keyframe predictions to all frames, float64 metrics on host.
+
+CLI:
+    python -m uplift_upsample_tpu.eval --weights w.h5 --config cfg.json \
+        --dataset data_3d_h36m.npz --dataset_2d data_2d_...npz
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .config import UpliftUpsampleConfig
+from .data import h36m_splits
+from .data.generator import H36mSequenceGenerator
+from .data.loading import filter_and_subsample_dataset, load_dataset_and_2d_poses
+from .data.pipeline import eval_batches
+from .models import build_uplift_upsample_transformer, init_model_params
+from .utils.eval_protocol import compute_and_log_metrics, interpolate_between_keyframes
+from .utils.time_format import format_time
+from .utils.weights_h5 import load_keras_h5
+
+
+def log(*args):
+    print(*args)
+    sys.stdout.flush()
+
+
+def make_test_step(model, variables, flip_tta: bool, flip_lr_indices):
+    """Jitted forward step with optional fused flip-TTA.
+
+    Returns fn(keypoints2d (B,N,K,2) unmasked, stride_mask (B,N) bool)
+    → (pred_sequence (B,N,K,3) | None, pred_central (B,K,3)).
+    """
+    flip_idx = jnp.asarray(np.asarray(flip_lr_indices, dtype=np.int32))
+
+    def forward(keypoints2d, stride_mask):
+        x = keypoints2d
+        if model.has_strided_input:
+            x = x * stride_mask[:, :, None, None].astype(x.dtype)
+            return model.apply(variables, x, stride_mask=stride_mask, training=False)
+        return model.apply(variables, x, training=False)
+
+    def step(keypoints2d, stride_mask):
+        pred_seq, pred_central = forward(keypoints2d, stride_mask)
+        if flip_tta:
+            flipped_in = jnp.concatenate(
+                [-keypoints2d[..., :1], keypoints2d[..., 1:]], axis=-1)[:, :, flip_idx]
+            f_seq, f_central = forward(flipped_in, stride_mask)
+            f_central = jnp.concatenate(
+                [-f_central[..., :1], f_central[..., 1:]], axis=-1)[:, flip_idx]
+            pred_central = (pred_central + f_central) / 2.0
+            if pred_seq is not None:
+                f_seq = jnp.concatenate(
+                    [-f_seq[..., :1], f_seq[..., 1:]], axis=-1)[:, :, flip_idx]
+                pred_seq = (pred_seq + f_seq) / 2.0
+        return pred_seq, pred_central
+
+    return jax.jit(step)
+
+
+def build_eval_generator(config: UpliftUpsampleConfig, dataset_path, dataset2d_path,
+                         test_subset, verbose=True):
+    selected_subjects = h36m_splits.subjects_by_split[test_subset]
+    dataset_3d, poses_2d = load_dataset_and_2d_poses(
+        dataset_path=dataset_path, poses_2d_path=dataset2d_path, verbose=verbose)
+    camera_params, poses_3d, poses_2d, _, subjects, actions, frame_rates = \
+        filter_and_subsample_dataset(
+            dataset=dataset_3d, poses_2d=poses_2d, subjects=selected_subjects,
+            action_filter="*", downsample=1, image_base_path=dataset_path,
+            verbose=verbose)
+    return H36mSequenceGenerator(
+        poses_3d, poses_2d, camera_params=camera_params, subjects=subjects,
+        actions=actions, frame_rates=frame_rates, split=test_subset,
+        seq_len=config.SEQUENCE_LENGTH, target_frame_rate=50,
+        subsample=config.DATASET_TEST_3D_SUBSAMPLE_STEP, stride=config.SEQUENCE_STRIDE,
+        padding_type=config.PADDING_TYPE, mask_stride=config.MASK_STRIDE,
+        stride_mask_align_global=True, rand_shift_stride_mask=False,
+        flip_augment=False, shuffle=False, verbose=verbose)
+
+
+def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d_path,
+             test_subset, weights_path=None, model=None, variables=None,
+             action_wise=True, verbose=True):
+    """Run H3.6M evaluation; returns (all-frames results, keyframes results or None),
+    each as (frame_results, average_results, per_action_results)."""
+    assert dataset_name == "h36m", "Invalid dataset"
+    assert not (weights_path is None and variables is None)
+
+    if model is None:
+        model = build_uplift_upsample_transformer(config=config)
+    if variables is None:
+        log(f"Loading weights from {weights_path}")
+        variables = load_keras_h5(weights_path, model)
+
+    generator = build_eval_generator(config, dataset_path, dataset2d_path,
+                                     test_subset, verbose=verbose)
+    num_examples = len(generator)
+    log(f"Sequences: {num_examples}")
+
+    test_step = make_test_step(model, variables, flip_tta=config.EVAL_FLIP,
+                               flip_lr_indices=config.AUGM_FLIP_KEYPOINT_ORDER)
+
+    log(f"Running evaluation on '{test_subset}' with {num_examples} examples")
+    start = time.time()
+    mid_index = config.SEQUENCE_LENGTH // 2
+    root = config.ROOT_KEYTPOINT
+
+    gt_central, pred_central = [], []
+    gt_subjects, gt_actions, gt_indices = [], [], []
+    examples = 0
+    for batch in eval_batches(generator.next_epoch_iterator, num_examples,
+                              config.BATCH_SIZE):
+        seq3d, seq2d, seq_mask, cams, subjects, actions, indices, stride_masks = batch
+        _, pred = test_step(jnp.asarray(seq2d), jnp.asarray(stride_masks))
+        pred = np.asarray(jax.device_get(pred))
+
+        include = min(config.BATCH_SIZE, num_examples - examples)
+        seq3d = seq3d - seq3d[:, :, root:root + 1, :]
+        gt_central.extend(seq3d[:include, mid_index])
+        pred_central.extend(pred[:include])
+        gt_subjects.extend(subjects[:include])
+        gt_actions.extend(actions[:include])
+        gt_indices.extend(indices[:include])
+        examples += include
+
+    gt_central = np.stack(gt_central, axis=0).astype(np.float64)
+    gt_central = np.concatenate(
+        [gt_central, np.ones(gt_central.shape[:-1] + (1,))], axis=-1)
+    pred_central = np.stack(pred_central, axis=0).astype(np.float64)
+    gt_actions = np.stack(gt_actions, axis=0)
+    gt_indices = np.stack(gt_indices, axis=0)
+
+    full_pred = np.copy(pred_central)
+    if config.SEQUENCE_STRIDE > 1 and config.TEST_STRIDED_EVAL:
+        log("Performing strided eval: Interpolating between keyframes")
+        strides = np.tile([config.SEQUENCE_STRIDE], reps=(gt_indices.shape[0]))
+        if config.EVAL_DISABLE_LEARNED_UPSAMPLING and config.MASK_STRIDE is not None:
+            strides[:] = config.MASK_STRIDE
+        interp_pred, _ = interpolate_between_keyframes(
+            pred3d=full_pred, frame_indices=gt_indices, keyframe_stride=strides)
+        eval_pred = interp_pred
+    else:
+        eval_pred = full_pred
+
+    log("\n### Evaluation on ALL FRAMES ####\n")
+    all_frames = compute_and_log_metrics(
+        pred3d=eval_pred, gt3d=gt_central, actions=gt_actions,
+        root_index=root, action_wise=action_wise)
+
+    keyframes_results = None
+    if (config.SEQUENCE_STRIDE > 1
+            or (config.MASK_STRIDE is not None and np.ndim(config.MASK_STRIDE) == 0
+                and config.MASK_STRIDE > 1)) and config.TEST_STRIDED_EVAL:
+        log("\n### Evaluation on KEYFRAMES ####\n")
+        input_stride = config.SEQUENCE_STRIDE if config.MASK_STRIDE is None else config.MASK_STRIDE
+        keyframes = np.equal(np.mod(gt_indices, input_stride), 0)
+        keyframes_results = compute_and_log_metrics(
+            pred3d=full_pred[keyframes], gt3d=gt_central[keyframes],
+            actions=gt_actions[keyframes], root_index=root, action_wise=action_wise)
+
+    log(f"Finished evaluation in {format_time(time.time() - start)}")
+    return all_frames, keyframes_results
+
+
+def run_eval_multi_mask_stride(config: UpliftUpsampleConfig, *args, **kwargs):
+    """Evaluate once per configured mask-stride value; returns {stride: results}."""
+    config = config.copy()
+    mask_stride_values = config.MASK_STRIDE
+    if not isinstance(mask_stride_values, list):
+        mask_stride_values = [mask_stride_values]
+    results = {}
+    for msv in mask_stride_values:
+        config.MASK_STRIDE = msv
+        if len(mask_stride_values) > 1:
+            log(f"### Running evaluation for mask stride value: {msv} ###")
+        results[msv] = run_eval(config=config, *args, **kwargs)
+        if len(mask_stride_values) > 1:
+            log(f"### Finished evaluation for mask stride value: {msv} ###")
+    return results
+
+
+def main(argv=None):
+    import argparse
+
+    parser = argparse.ArgumentParser(description="3D evaluation on H36m (TPU-native).")
+    parser.add_argument("--weights", required=True, help="Path to .h5 weights")
+    parser.add_argument("--config", required=False, default=None)
+    parser.add_argument("--batch_size", required=False, default=None, type=int)
+    parser.add_argument("--dataset", required=False, default="./data/data_3d_h36m.npz")
+    parser.add_argument("--dataset_2d", required=False,
+                        default="./data/data_2d_h36m_cpn_ft_h36m_dbb.npz")
+    parser.add_argument("--test_subset", required=False, default="test")
+    parser.add_argument("--action_wise", dest="action_wise", action="store_true")
+    parser.add_argument("--frame_wise", dest="action_wise", action="store_false")
+    parser.set_defaults(action_wise=True)
+    parser.add_argument("--forced_mask_stride", required=False, default=None, type=int)
+    parser.add_argument("--no_learned_upsampling", dest="disable_learned_upsampling",
+                        action="store_true")
+    parser.set_defaults(disable_learned_upsampling=False)
+    args = parser.parse_args(argv)
+
+    config = UpliftUpsampleConfig(config_file=args.config)
+    assert config.ARCH == "UpliftUpsampleTransformer"
+    if args.forced_mask_stride is not None:
+        log(f"Setting mask stride to fixed value: {args.forced_mask_stride}")
+        config.MASK_STRIDE = args.forced_mask_stride
+    if args.batch_size is not None:
+        config.BATCH_SIZE = int(args.batch_size)
+    if args.disable_learned_upsampling and config.MASK_STRIDE is not None:
+        log("WARNING: Disabling learned upsampling. Will use pure bi-linear upsampling.")
+        config.EVAL_DISABLE_LEARNED_UPSAMPLING = True
+
+    config.display()
+    run_eval_multi_mask_stride(
+        config=config, dataset_name="h36m", dataset_path=args.dataset,
+        dataset2d_path=args.dataset_2d, test_subset=args.test_subset,
+        weights_path=args.weights, action_wise=args.action_wise)
+
+
+if __name__ == "__main__":
+    main()
