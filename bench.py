@@ -1,0 +1,105 @@
+"""Benchmark: uplifted frames/sec/chip on the flagship h36m_351 model.
+
+Eval-protocol throughput: each window covers a 351-frame receptive field and
+produces the central-frame prediction, so windows/sec == uplifted frames/sec.
+Prints ONE JSON line; baseline target is 50,000 frames/sec/chip (BASELINE.md).
+
+Usage: python bench.py [--batch 1024] [--iters 30] [--dtype float32|bfloat16]
+                       [--flip-tta] [--pallas]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_FRAMES_PER_SEC = 50_000.0
+
+
+def build(dtype: str, use_pallas: bool):
+    from uplift_upsample_tpu.config import UpliftUpsampleConfig
+    from uplift_upsample_tpu.models import (build_uplift_upsample_transformer,
+                                            init_model_params)
+
+    config = UpliftUpsampleConfig()
+    config.update_from({
+        "SEQUENCE_LENGTH": 71, "SEQUENCE_STRIDE": 5, "SPATIAL_EMBED_DIM": 32,
+        "TEMPORAL_EMBED_DIM": 384, "SPATIAL_TRANSFORMER_BLOCKS": 4,
+        "TEMPORAL_TRANSFORMER_BLOCKS": 4, "STRIDES": [3, 10, 3],
+        "PADDINGS": [[0, 0], [0, 0], [0, 0]], "NUM_HEADS": 8,
+        "MASK_STRIDE": [5, 10, 20], "FIRST_STRIDED_TOKEN_ATTENTION_LAYER": 1,
+        "DROP_PATH_RATE": [0.1, 0.1, 0.0],
+        "COMPUTE_DTYPE": dtype, "USE_PALLAS_ATTENTION": use_pallas,
+    })
+    model = build_uplift_upsample_transformer(config)
+    variables = init_model_params(model, seed=0)
+    return model, variables
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=1024)
+    parser.add_argument("--iters", type=int, default=30)
+    parser.add_argument("--dtype", default="float32")
+    parser.add_argument("--flip-tta", action="store_true")
+    parser.add_argument("--pallas", action="store_true")
+    args = parser.parse_args()
+
+    model, variables = build(args.dtype, args.pallas)
+
+    def forward(variables, x, sm):
+        xm = x * sm[:, :, None, None].astype(x.dtype)
+        full, central = model.apply(variables, xm, stride_mask=sm, training=False)
+        if args.flip_tta:
+            from uplift_upsample_tpu.data.keypoint_order import H36MOrder17P
+            fi = jnp.asarray(H36MOrder17P.flip_lr_indices())
+            xf = jnp.concatenate([-xm[..., :1], xm[..., 1:]], axis=-1)[:, :, fi]
+            _, cf = model.apply(variables, xf, stride_mask=sm, training=False)
+            central = (central + jnp.concatenate(
+                [-cf[..., :1], cf[..., 1:]], axis=-1)[:, fi]) / 2
+        return central
+
+    fn = jax.jit(forward)
+    rng = np.random.default_rng(0)
+    # Distinct inputs per step (prevents any same-input result caching) and a
+    # chained data dependency so steps cannot be elided or overlapped away.
+    n_bufs = 8
+    xs = [jnp.asarray(rng.normal(size=(args.batch, 71, 17, 2)).astype(np.float32) * 0.3)
+          for _ in range(n_bufs)]
+    sm = jnp.asarray((np.arange(71) % 1 == 0))[None].repeat(args.batch, axis=0)
+
+    def chained(variables, x, sm, carry):
+        central = forward(variables, x + carry * 1e-12, sm)
+        return central, jnp.sum(central[:1, :1, :1])
+
+    cfn = jax.jit(chained)
+    carry = jnp.zeros([], jnp.float32)
+    # Warmup/compile
+    out, carry = cfn(variables, xs[0], sm, carry)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        out, carry = cfn(variables, xs[i % n_bufs], sm, carry)
+    out.block_until_ready()
+    carry.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    frames_per_sec = args.batch * args.iters / elapsed
+    print(json.dumps({
+        "metric": "uplifted_frames_per_sec_per_chip_n351",
+        "value": round(frames_per_sec, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(frames_per_sec / BASELINE_FRAMES_PER_SEC, 3),
+    }))
+    print(f"# device={jax.devices()[0].device_kind} batch={args.batch} "
+          f"iters={args.iters} dtype={args.dtype} flip_tta={args.flip_tta} "
+          f"pallas={args.pallas} elapsed={elapsed:.3f}s", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,153 @@
+"""Training harness tests: optimizer semantics, schedules, EMA, end-to-end smoke."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from uplift_upsample_tpu.config import UpliftUpsampleConfig
+from uplift_upsample_tpu.parallel import TrainState, make_optimizer, make_train_step
+from uplift_upsample_tpu.utils.schedules import (exponential_decay,
+                                                 exponential_decay_with_steps)
+
+FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures")
+SYNTH_DIR = os.path.join(FIXTURE_DIR, "synth")
+
+
+def test_exponential_decay_staircase():
+    sched = exponential_decay(4e-5, decay_steps=6000, decay_rate=0.99, staircase=True)
+    assert np.isclose(float(sched(0)), 4e-5)
+    assert np.isclose(float(sched(5999)), 4e-5)
+    assert np.isclose(float(sched(6000)), 4e-5 * 0.99)
+    assert np.isclose(float(sched(18001)), 4e-5 * 0.99 ** 3)
+
+
+def test_exponential_decay_with_steps():
+    # Two-tier: small decay every 12k steps, large every 60k; the small-decay
+    # exponent excludes the large-decay count (reference schedules.py:86-99)
+    sched = exponential_decay_with_steps(1e-3, decay_steps=12000, decay_rate=0.95,
+                                         large_decay_steps=60000, large_decay_rate=0.5)
+    assert np.isclose(float(sched(0)), 1e-3)
+    assert np.isclose(float(sched(12000)), 1e-3 * 0.95)
+    assert np.isclose(float(sched(60000)), 1e-3 * 0.95 ** (5 - 1) * 0.5, rtol=1e-5)
+    assert np.isclose(float(sched(72000)), 1e-3 * 0.95 ** (6 - 1) * 0.5, rtol=1e-5)
+
+
+def test_adamw_decoupled_wd_semantics():
+    """One AdamW step must equal -lr*mhat/(sqrt(vhat)+eps) - wd*param (tfa.AdamW)."""
+    config = UpliftUpsampleConfig()
+    config.OPTIMIZER = "AdamW"
+    config.OPTIMIZER_PARAMS = {}
+    config.WEIGHT_DECAY = 1e-2
+    config.SCHEDULE = "ExponentialDecay"
+    config.SCHEDULE_PARAMS = {"initial_learning_rate": 1e-3, "decay_steps": 10,
+                              "decay_rate": 0.5, "staircase": True}
+    tx, lr_s, wd_s = make_optimizer(config)
+
+    p0 = jnp.array([1.0, -2.0])
+    g = jnp.array([0.5, 0.25])
+    opt_state = tx.init(p0)
+    updates, _ = tx.update(g, opt_state, p0)
+    p1 = p0 + updates
+
+    lr, wd, b1, b2, eps = 1e-3, 1e-2, 0.9, 0.999, 1e-8
+    m = (1 - b1) * g
+    v = (1 - b2) * g ** 2
+    mhat = m / (1 - b1)
+    vhat = v / (1 - b2)
+    expected = p0 - lr * mhat / (np.sqrt(vhat) + eps) - wd * p0
+    np.testing.assert_allclose(np.asarray(p1), expected, rtol=1e-6)
+
+
+def _tiny_config():
+    config = UpliftUpsampleConfig()
+    config.update_from({
+        "SEQUENCE_LENGTH": 9, "SEQUENCE_STRIDE": 5, "SPATIAL_EMBED_DIM": 16,
+        "TEMPORAL_EMBED_DIM": 32, "SPATIAL_TRANSFORMER_BLOCKS": 1,
+        "TEMPORAL_TRANSFORMER_BLOCKS": 2, "STRIDES": [3, 3],
+        "PADDINGS": [[0, 0], [0, 0]], "NUM_HEADS": 4, "MASK_STRIDE": [5, 10, 20],
+        "FIRST_STRIDED_TOKEN_ATTENTION_LAYER": 1, "BATCH_SIZE": 16,
+        "DROP_PATH_RATE": [0.1, 0.1, 0.0], "EPOCHS": 2, "STEPS_PER_EPOCH": 4,
+        "VALIDATION_INTERVAL": 1, "CHECKPOINT_INTERVAL": 1, "VALIDATION_EXAMPLES": 24,
+        "OPTIMIZER": "AdamW", "OPTIMIZER_PARAMS": {}, "WEIGHT_DECAY": 4e-6,
+        "SCHEDULE": "ExponentialDecay",
+        "SCHEDULE_PARAMS": {"initial_learning_rate": 4e-5, "decay_steps": 6000,
+                            "decay_rate": 0.99, "staircase": True},
+        "EMA_ENABLED": True, "EMA_DECAY": 0.999,
+        "STRIDE_MASK_RAND_SHIFT": True, "IN_BATCH_AUGMENT": True,
+        "DATASET_VAL_3D_SUBSAMPLE_STEP": 10,
+    })
+    return config
+
+
+@pytest.mark.skipif(not os.path.exists(os.path.join(SYNTH_DIR, "data_3d_h36m.npz")),
+                    reason="synthetic npz missing")
+def test_train_smoke_and_resume(tmp_path):
+    """Two-epoch training on synthetic data, then resume for a third epoch."""
+    from uplift_upsample_tpu.train import train_and_validate
+    from uplift_upsample_tpu.models import build_uplift_upsample_transformer
+    from uplift_upsample_tpu.utils.weights_h5 import load_keras_h5
+
+    config = _tiny_config()
+    out_dir = str(tmp_path / "run")
+    kwargs = dict(
+        out_dir=out_dir, dataset_name="h36m",
+        h36m_path=os.path.join(SYNTH_DIR, "data_3d_h36m.npz"),
+        dataset_2d_path=os.path.join(SYNTH_DIR, "data_2d_h36m_synth.npz"),
+        train_subset="train", val_subset="val", test_subset=None)
+
+    hist, best_path, last_path = train_and_validate(config=config.copy(), **kwargs)
+    assert best_path is not None and os.path.exists(best_path)
+    assert last_path is not None and os.path.exists(last_path)
+    assert hist.latest_value("MPJPE") is not None
+    assert os.path.exists(os.path.join(out_dir, "scalars.jsonl"))
+    with open(os.path.join(out_dir, "scalars.jsonl")) as f:
+        tags = {json.loads(line)["tag"] for line in f}
+    assert {"train/loss", "train/LR", "train/WD", "val/MPJPE", "val/AW-MPJPE"} <= tags
+
+    # exported h5 must be loadable back into the model
+    model = build_uplift_upsample_transformer(config)
+    variables = load_keras_h5(last_path, model)
+    assert "params" in variables
+
+    # resume: epoch 3 only
+    config3 = config.copy()
+    config3.EPOCHS = 3
+    hist2, _, last2 = train_and_validate(config=config3, continue_training=True, **kwargs)
+    assert last2.endswith("last_weights_0003.h5")
+
+
+def test_train_step_loss_decreases():
+    """Direct train-step loop on a deterministic batch must reduce the loss."""
+    from uplift_upsample_tpu.models import build_uplift_upsample_transformer, init_model_params
+
+    config = _tiny_config()
+    config.SCHEDULE_PARAMS = {"initial_learning_rate": 1e-3, "decay_steps": 6000,
+                              "decay_rate": 0.99, "staircase": True}
+    config.EMA_ENABLED = False
+    model = build_uplift_upsample_transformer(config)
+    params = init_model_params(model, seed=0)["params"]
+    tx, _, _ = make_optimizer(config)
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       ema_params=None, step=jnp.zeros([], jnp.int32))
+    step = make_train_step(model, tx, config, dataset_name="h36m")
+
+    rng = np.random.default_rng(0)
+    b, n, k = config.BATCH_SIZE, config.SEQUENCE_LENGTH, config.NUM_KEYPOINTS
+    batch = (
+        rng.normal(size=(b, n, k, 3)).astype(np.float32) * 0.1,
+        rng.normal(size=(b, n, k, 2)).astype(np.float32) * 0.1,
+        np.ones((b, n), np.float32),
+        np.zeros((b, 11), np.float32),
+        np.zeros((b,), np.int32), np.zeros((b,), np.int32), np.zeros((b,), np.int32),
+        (np.arange(n) % 5 == 4)[None].repeat(b, 0),
+    )
+    losses = []
+    for _ in range(30):
+        state, loss = step(state, batch)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.9, losses[::10]

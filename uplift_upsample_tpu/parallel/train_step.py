@@ -1,0 +1,213 @@
+"""Jitted train/val step builders with data-parallel sharding.
+
+Optimizer parity targets (reference `train.py:404-506`):
+  - tfa.AdamW semantics: decoupled weight decay applied with its *own*
+    schedule (same shape as the LR schedule, re-based to WEIGHT_DECAY), NOT
+    multiplied by the learning rate.
+  - Keras Adam (+amsgrad) for the "Adam" config.
+  - Loss: central Σ‖·‖/(B·K) + sequence Σ‖·‖/(B·N·K), weighted; without
+    temporal blocks, (w_c + w_s)·central.
+  - EMA: ema ← ema − (1−d)(ema − w), d = min(EMA_DECAY, (1+g)/(10+g)).
+
+The whole step — optional AMASS world→cam+projection, input masking,
+forward, backward, optimizer, EMA — is one jitted function; with a Mesh the
+batch is sharded on "dp", params replicated, and XLA emits the gradient psum
+over ICI.
+"""
+
+from __future__ import annotations
+
+import copy
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..config import UpliftUpsampleConfig
+from ..ops.camera import world_to_cam_and_2d
+from ..utils.schedules import scheduler_by_name
+from .mesh import batch_sharding, replicated_sharding
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    ema_params: Any  # None when EMA disabled
+    step: jax.Array  # global step (0-based)
+
+
+def _scheduled_decoupled_weight_decay(wd_schedule):
+    """update ← update − wd(step)·param, independent of the learning rate."""
+
+    def init_fn(params):
+        return optax.ScaleByScheduleState(count=jnp.zeros([], jnp.int32))
+
+    def update_fn(updates, state, params):
+        if params is None:
+            raise ValueError("weight decay requires params")
+        wd = wd_schedule(state.count)
+        updates = jax.tree.map(lambda u, p: u - wd * p, updates, params)
+        return updates, optax.ScaleByScheduleState(count=state.count + 1)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_optimizer(config: UpliftUpsampleConfig):
+    """Build the optax optimizer + (lr_schedule, wd_schedule) from config."""
+    lr_schedule = scheduler_by_name(config.SCHEDULE)(**config.SCHEDULE_PARAMS)
+
+    if config.OPTIMIZER == "AdamW":
+        wd_params = copy.deepcopy(config.SCHEDULE_PARAMS)
+        wd_params["initial_learning_rate"] = config.WEIGHT_DECAY
+        wd_schedule = scheduler_by_name(config.SCHEDULE)(**wd_params)
+        opt_params = dict(config.OPTIMIZER_PARAMS)
+        eps = opt_params.pop("epsilon", 1e-8)
+        tx = optax.chain(
+            optax.scale_by_adam(eps=eps, **opt_params),
+            optax.scale_by_learning_rate(lr_schedule),  # negates
+            _scheduled_decoupled_weight_decay(wd_schedule),
+        )
+        return tx, lr_schedule, wd_schedule
+    elif config.OPTIMIZER == "Adam":
+        opt_params = dict(config.OPTIMIZER_PARAMS)
+        eps = opt_params.pop("epsilon", 1e-8)
+        amsgrad = opt_params.pop("amsgrad", False)
+        scale = (optax.scale_by_amsgrad(eps=eps, **opt_params) if amsgrad
+                 else optax.scale_by_adam(eps=eps, **opt_params))
+        tx = optax.chain(scale, optax.scale_by_learning_rate(lr_schedule))
+        return tx, lr_schedule, None
+    raise ValueError(config.OPTIMIZER)
+
+
+def _prepare_batch(batch, config, dataset_name):
+    """Normalize a generator batch to (keypoints2d, keypoints3d_cam, stride_mask)."""
+    if dataset_name == "amass":
+        seq3d_world, cam18, _mask, _s, _a, _i, stride_mask = batch
+        keypoints3d, keypoints2d = world_to_cam_and_2d(seq3d_world, cam18)
+    else:
+        seq3d, seq2d, _mask, _cam, _s, _a, _i, stride_mask = batch
+        keypoints3d, keypoints2d = seq3d, seq2d
+    return keypoints2d, keypoints3d, stride_mask
+
+
+def make_loss_fn(model, config: UpliftUpsampleConfig, dataset_name: str = "h36m"):
+    root = config.ROOT_KEYTPOINT
+    mid = config.SEQUENCE_LENGTH // 2
+    b, n, k = config.BATCH_SIZE, config.SEQUENCE_LENGTH, config.NUM_KEYPOINTS
+
+    def loss_fn(params, batch, rngs):
+        keypoints2d, keypoints3d, stride_mask = _prepare_batch(batch, config, dataset_name)
+        keypoints3d = keypoints3d - keypoints3d[:, :, root:root + 1, :]
+        central_gt = keypoints3d[:, mid]
+
+        x = keypoints2d
+        if model.has_strided_input:
+            x = x * stride_mask[:, :, None, None].astype(x.dtype)
+            pred_seq, pred_central = model.apply(
+                {"params": params}, x, stride_mask=stride_mask, training=True, rngs=rngs)
+        else:
+            pred_seq, pred_central = model.apply(
+                {"params": params}, x, training=True, rngs=rngs)
+
+        central_loss = jnp.sum(jnp.linalg.norm(
+            central_gt - pred_central.astype(jnp.float32), axis=-1)) / (b * k)
+        if config.TEMPORAL_TRANSFORMER_BLOCKS > 0:
+            sequence_loss = jnp.sum(jnp.linalg.norm(
+                keypoints3d - pred_seq.astype(jnp.float32), axis=-1)) / (b * n * k)
+            loss = (config.LOSS_WEIGHT_CENTER * central_loss
+                    + config.LOSS_WEIGHT_SEQUENCE * sequence_loss)
+        else:
+            loss = (config.LOSS_WEIGHT_CENTER + config.LOSS_WEIGHT_SEQUENCE) * central_loss
+        return loss
+
+    return loss_fn
+
+
+def make_train_step(model, tx, config: UpliftUpsampleConfig, dataset_name: str = "h36m",
+                    mesh=None, rng_seed: int = 0):
+    """Returns jitted train_step(state, batch) → (state, loss)."""
+    loss_fn = make_loss_fn(model, config, dataset_name)
+    base_key = jax.random.PRNGKey(rng_seed)
+    ema_enabled = bool(config.EMA_ENABLED)
+    ema_decay_cap = config.EMA_DECAY if ema_enabled else 0.0
+
+    def step_fn(state: TrainState, batch):
+        step_key = jax.random.fold_in(base_key, state.step)
+        rngs = {name: jax.random.fold_in(step_key, i)
+                for i, name in enumerate(("dropout", "droppath", "token_mask"))}
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rngs)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        ema_params = state.ema_params
+        if ema_enabled:
+            g = state.step.astype(jnp.float32)
+            decay = jnp.minimum(ema_decay_cap, (1.0 + g) / (10.0 + g))
+            ema_params = jax.tree.map(
+                lambda e, w: e - (1.0 - decay) * (e - w), ema_params, params)
+
+        return TrainState(params=params, opt_state=opt_state,
+                          ema_params=ema_params, step=state.step + 1), loss
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=0)
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(step_fn, donate_argnums=0,
+                   in_shardings=(repl, data), out_shardings=(repl, repl))
+
+
+def make_val_step(model, config: UpliftUpsampleConfig, dataset_name: str = "h36m",
+                  mesh=None):
+    """Returns jitted val_step(params, batch) → (pred_central, loss).
+
+    Applies optional flip-TTA averaging on the central prediction, like the
+    reference validation loop (`train.py:608-627`).
+    """
+    root = config.ROOT_KEYTPOINT
+    mid = config.SEQUENCE_LENGTH // 2
+    b, n, k = config.BATCH_SIZE, config.SEQUENCE_LENGTH, config.NUM_KEYPOINTS
+    flip_idx = jnp.asarray(config.AUGM_FLIP_KEYPOINT_ORDER, dtype=jnp.int32)
+
+    def forward(params, keypoints2d, stride_mask):
+        x = keypoints2d
+        if model.has_strided_input:
+            x = x * stride_mask[:, :, None, None].astype(x.dtype)
+            return model.apply({"params": params}, x, stride_mask=stride_mask,
+                               training=False)
+        return model.apply({"params": params}, x, training=False)
+
+    def step_fn(params, batch):
+        keypoints2d, keypoints3d, stride_mask = _prepare_batch(batch, config, dataset_name)
+        keypoints3d = keypoints3d - keypoints3d[:, :, root:root + 1, :]
+        central_gt = keypoints3d[:, mid]
+
+        pred_seq, pred_central = forward(params, keypoints2d, stride_mask)
+        central_loss = jnp.sum(jnp.linalg.norm(
+            central_gt - pred_central.astype(jnp.float32), axis=-1)) / (b * k)
+        loss = central_loss
+        if config.TEMPORAL_TRANSFORMER_BLOCKS > 0:
+            sequence_loss = jnp.sum(jnp.linalg.norm(
+                keypoints3d - pred_seq.astype(jnp.float32), axis=-1)) / (b * n * k)
+            loss = central_loss + sequence_loss
+
+        if config.EVAL_FLIP:
+            flipped_in = jnp.concatenate(
+                [-keypoints2d[..., :1], keypoints2d[..., 1:]], axis=-1)[:, :, flip_idx]
+            _, f_central = forward(params, flipped_in, stride_mask)
+            f_central = jnp.concatenate(
+                [-f_central[..., :1], f_central[..., 1:]], axis=-1)[:, flip_idx]
+            pred_central = (pred_central + f_central) / 2.0
+
+        return pred_central, central_gt, loss
+
+    if mesh is None:
+        return jax.jit(step_fn)
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(step_fn, in_shardings=(repl, data),
+                   out_shardings=(data, data, repl))

@@ -15,7 +15,8 @@ import os
 import numpy as np
 
 
-def make_synthetic_h36m_npz(path_3d, path_2d, subjects=("S1", "S5", "S8", "S9", "S11"),
+def make_synthetic_h36m_npz(path_3d, path_2d,
+                            subjects=("S1", "S5", "S6", "S7", "S8", "S9", "S11"),
                             action_frames=(("Walking", 90), ("Walking 1", 61),
                                            ("Photo", 45), ("Sitting", 70)),
                             extra_2d_frames=3, seed=7):
