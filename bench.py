@@ -64,32 +64,41 @@ def main():
                 [-cf[..., :1], cf[..., 1:]], axis=-1)[:, fi]) / 2
         return central
 
-    fn = jax.jit(forward)
+    # Measurement notes for this environment: the PJRT relay makes
+    # block_until_ready a no-op and adds ~5ms RPC per dispatch plus a large
+    # fixed device_get cost. So: run M forwards inside ONE jitted lax.scan
+    # (chained carry → iterations can't be CSE'd or overlapped away), sync via
+    # device_get of a scalar, and take the slope between two M values to
+    # cancel all fixed overheads.
+    from functools import partial
+
     rng = np.random.default_rng(0)
-    # Distinct inputs per step (prevents any same-input result caching) and a
-    # chained data dependency so steps cannot be elided or overlapped away.
-    n_bufs = 8
-    xs = [jnp.asarray(rng.normal(size=(args.batch, 71, 17, 2)).astype(np.float32) * 0.3)
-          for _ in range(n_bufs)]
-    sm = jnp.asarray((np.arange(71) % 1 == 0))[None].repeat(args.batch, axis=0)
+    x = jnp.asarray(rng.normal(size=(args.batch, 71, 17, 2)).astype(np.float32) * 0.3)
+    sm = jnp.asarray(np.ones((args.batch, 71), dtype=bool))
 
-    def chained(variables, x, sm, carry):
-        central = forward(variables, x + carry * 1e-12, sm)
-        return central, jnp.sum(central[:1, :1, :1])
+    @partial(jax.jit, static_argnums=3)
+    def loop(variables, x, sm, m):
+        def body(carry, _):
+            central = forward(variables, x + carry, sm)
+            return jnp.sum(central[0, 0]) * 1e-20, None
+        carry, _ = jax.lax.scan(body, jnp.zeros([], x.dtype), None, length=m)
+        return carry
 
-    cfn = jax.jit(chained)
-    carry = jnp.zeros([], jnp.float32)
-    # Warmup/compile
-    out, carry = cfn(variables, xs[0], sm, carry)
-    out.block_until_ready()
-    t0 = time.perf_counter()
-    for i in range(args.iters):
-        out, carry = cfn(variables, xs[i % n_bufs], sm, carry)
-    out.block_until_ready()
-    carry.block_until_ready()
-    elapsed = time.perf_counter() - t0
+    def timed(m, reps=3):
+        jax.device_get(loop(variables, x, sm, m))  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.device_get(loop(variables, x, sm, m))
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    frames_per_sec = args.batch * args.iters / elapsed
+    m_small = max(2, args.iters // 8)
+    t_small = timed(m_small)
+    t_large = timed(args.iters)
+    per_forward = (t_large - t_small) / (args.iters - m_small)
+    elapsed = per_forward * args.iters
+    frames_per_sec = args.batch / per_forward
     print(json.dumps({
         "metric": "uplifted_frames_per_sec_per_chip_n351",
         "value": round(frames_per_sec, 1),

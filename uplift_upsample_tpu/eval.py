@@ -20,11 +20,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import itertools
+
 from .config import UpliftUpsampleConfig
 from .data import h36m_splits
+from .data.fast_batcher import FastH36mBatcher
 from .data.generator import H36mSequenceGenerator
 from .data.loading import filter_and_subsample_dataset, load_dataset_and_2d_poses
-from .data.pipeline import eval_batches
 from .models import build_uplift_upsample_transformer, init_model_params
 from .utils.eval_protocol import compute_and_log_metrics, interpolate_between_keyframes
 from .utils.time_format import format_time
@@ -119,8 +121,11 @@ def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d
     gt_central, pred_central = [], []
     gt_subjects, gt_actions, gt_indices = [], [], []
     examples = 0
-    for batch in eval_batches(generator.next_epoch_iterator, num_examples,
-                              config.BATCH_SIZE):
+    # Native-accelerated batches; chained deterministic epochs == the
+    # reference's repeat(2) → batch → take(ceil) protocol
+    num_batches = int(np.ceil(num_examples / config.BATCH_SIZE))
+    fast = FastH36mBatcher(generator, batch_size=config.BATCH_SIZE)
+    for batch in itertools.islice(fast.batches(), num_batches):
         seq3d, seq2d, seq_mask, cams, subjects, actions, indices, stride_masks = batch
         _, pred = test_step(jnp.asarray(seq2d), jnp.asarray(stride_masks))
         pred = np.asarray(jax.device_get(pred))

@@ -83,12 +83,31 @@ class MultiHeadAttention(nn.Module):
 
         dense = lambda name: nn.Dense(self.dim, use_bias=self.qkv_bias,
                                       kernel_init=KERNEL_INIT, dtype=self.dtype, name=name)
-        q = dense("wq")(x).reshape(b, s, self.num_heads, depth).transpose(0, 2, 1, 3)
-        k = dense("wk")(x).reshape(b, s, self.num_heads, depth).transpose(0, 2, 1, 3)
-        v = dense("wv")(x).reshape(b, s, self.num_heads, depth).transpose(0, 2, 1, 3)
+        qp = dense("wq")(x)
+        kp = dense("wk")(x)
+        vp = dense("wv")(x)
 
         use_pallas = self.use_pallas and (self.attn_drop == 0 or deterministic)
-        out, weights = scaled_dot_product_attention(q, k, v, mask, use_pallas=use_pallas)
+        if use_pallas:
+            from ..ops.pallas_attention import packed_multihead_attention, supported
+            mask_ok = mask is None or (mask.ndim == 4 and mask.shape[1] == 1
+                                       and mask.shape[2] == 1)
+            if supported(s, None) and mask_ok:
+                # Packed path: no head-split transpose, logits stay in VMEM
+                key_mask = None
+                if mask is not None:
+                    key_mask = jnp.broadcast_to(mask[:, 0, 0, :], (b, s))
+                out = packed_multihead_attention(qp, kp, vp, key_mask,
+                                                 num_heads=self.num_heads)
+                out = nn.Dense(self.dim, kernel_init=KERNEL_INIT, dtype=self.dtype,
+                               name="proj")(out)
+                if self.proj_drop > 0:
+                    out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+                return out, None
+
+        reshape = lambda t: t.reshape(b, s, self.num_heads, depth).transpose(0, 2, 1, 3)
+        q, k, v = reshape(qp), reshape(kp), reshape(vp)
+        out, weights = scaled_dot_product_attention(q, k, v, mask)
         if self.attn_drop > 0 and weights is not None:
             # Attention-weight dropout (rare in configs; forces the XLA path)
             weights = nn.Dropout(self.attn_drop)(weights, deterministic=deterministic)

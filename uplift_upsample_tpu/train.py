@@ -28,7 +28,8 @@ from .data.generator import AMASSSequenceGenerator, H36mSequenceGenerator
 from .data.keypoint_order import H36MOrder17P
 from .data.loading import filter_and_subsample_dataset, load_dataset_and_2d_poses
 from .data.mocap import AMASSDataset
-from .data.pipeline import eval_batches, train_batches
+from .data.fast_batcher import FastAMASSBatcher, FastH36mBatcher
+from .data.pipeline import _threaded
 from .models import build_uplift_upsample_transformer, init_model_params
 from .parallel import (TrainState, make_mesh, make_optimizer, make_train_step,
                        make_val_step, shard_batch)
@@ -230,7 +231,14 @@ def train_and_validate(config: UpliftUpsampleConfig, out_dir, dataset_name="h36m
     root = config.ROOT_KEYTPOINT
     mid = config.SEQUENCE_LENGTH // 2
 
-    train_iter = train_batches(train_gen.next_epoch_iterator, config.BATCH_SIZE)
+    def make_fast_batcher(gen, name):
+        if isinstance(gen, H36mSequenceGenerator):
+            return FastH36mBatcher(gen, batch_size=config.BATCH_SIZE)
+        return FastAMASSBatcher(gen, batch_size=config.BATCH_SIZE)
+
+    # Native-accelerated host feed, produced ahead by a background thread
+    train_iter = _threaded(make_fast_batcher(train_gen, dataset_name).batches(), depth=4)
+    val_batcher = None if val_gen is None else make_fast_batcher(val_gen, val_dataset_name)
 
     def to_device(batch):
         if mesh is not None:
@@ -277,8 +285,9 @@ def train_and_validate(config: UpliftUpsampleConfig, out_dir, dataset_name="h36m
             gt_list, pred_list, subj_list, act_list = [], [], [], []
             loss_vals = []
             examples = 0
-            for batch in eval_batches(val_gen.next_epoch_iterator,
-                                      config.VALIDATION_EXAMPLES, config.BATCH_SIZE):
+            import itertools
+            n_val_batches = int(np.ceil(config.VALIDATION_EXAMPLES / config.BATCH_SIZE))
+            for batch in itertools.islice(val_batcher.batches(), n_val_batches):
                 subjects, actions = batch[-4], batch[-3]
                 pred_central, central_gt, loss = val_step(val_params, to_device(batch))
                 loss_vals.append(float(loss))
