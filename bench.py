@@ -10,13 +10,22 @@ Usage: python bench.py [--batch 1024] [--iters 30] [--dtype float32|bfloat16]
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 import jax
-import jax.numpy as jnp
+
+# Persistent compilation cache: Mosaic/XLA compiles through the remote relay
+# are slow (minutes); cache them across bench runs.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_comp_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp  # noqa: E402
 
 BASELINE_FRAMES_PER_SEC = 50_000.0
 

@@ -213,9 +213,14 @@ def main(argv=None):
     parser.add_argument("--no_learned_upsampling", dest="disable_learned_upsampling",
                         action="store_true")
     parser.set_defaults(disable_learned_upsampling=False)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 compute (faster, ~0.1mm metric noise)")
+    parser.add_argument("--pallas", action="store_true",
+                        help="fused Pallas attention kernels")
     args = parser.parse_args(argv)
 
-    config = UpliftUpsampleConfig(config_file=args.config)
+    from .configs import resolve_config
+    config = resolve_config(args.config)
     assert config.ARCH == "UpliftUpsampleTransformer"
     if args.forced_mask_stride is not None:
         log(f"Setting mask stride to fixed value: {args.forced_mask_stride}")
@@ -225,6 +230,10 @@ def main(argv=None):
     if args.disable_learned_upsampling and config.MASK_STRIDE is not None:
         log("WARNING: Disabling learned upsampling. Will use pure bi-linear upsampling.")
         config.EVAL_DISABLE_LEARNED_UPSAMPLING = True
+    if args.bf16:
+        config.COMPUTE_DTYPE = "bfloat16"
+    if args.pallas:
+        config.USE_PALLAS_ATTENTION = True
 
     config.display()
     run_eval_multi_mask_stride(

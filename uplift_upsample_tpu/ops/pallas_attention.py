@@ -52,17 +52,19 @@ def _head_attention(qh, kh, vh, scale, neg, depth):
 
 def _make_kernel(num_heads: int, depth: int, scale: float, have_mask: bool):
     def body(q_ref, k_ref, v_ref, mask_ref, o_ref):
-        q, k, v = q_ref[:], k_ref[:], v_ref[:]
         neg = None
         if mask_ref is not None:
             neg = mask_ref[:].astype(jnp.float32)[:, None, :] * -1e9
-        outs = []
+        # One head at a time, stored straight into the output lane slice —
+        # only one transient context is live, so Mosaic reuses the scratch
+        # across the unrolled head loop instead of keeping H padded buffers.
         for h in range(num_heads):
             sl = slice(h * depth, (h + 1) * depth)
-            outs.append(_head_attention(
-                q[:, :, sl].astype(jnp.float32), k[:, :, sl].astype(jnp.float32),
-                v[:, :, sl].astype(jnp.float32), scale, neg, depth))
-        o_ref[:] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+            ctx = _head_attention(
+                q_ref[:, :, sl].astype(jnp.float32),
+                k_ref[:, :, sl].astype(jnp.float32),
+                v_ref[:, :, sl].astype(jnp.float32), scale, neg, depth)
+            o_ref[:, :, sl] = ctx.astype(o_ref.dtype)
 
     if have_mask:
         return body
@@ -84,17 +86,19 @@ def packed_multihead_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     scale = 1.0 / float(depth) ** 0.5
 
     if block_f <= 0:
-        # VMEM budget accounting for lane padding: every (bt, S, *) buffer
-        # costs pad8(S) sublanes x 128-lane tiles x 4B per f-row. Live buffers
-        # ≈ q/k/v/out (lane tiles of C) + logits/weights + one padded context
-        # per head.
+        # VMEM budget with lane padding: every (bt, S, *) buffer costs
+        # pad8(S) sublanes x 128-lane tiles x 4B per f-row. Live: q/k/v/out
+        # (C lane tiles each) + logits/weights + one transient head context.
         pad_sub = -(-s // 8) * 8
         lane_tiles_c = -(-c // 128)
-        buffers = 4 * lane_tiles_c + 2 * (-(-s // 128)) + num_heads
+        buffers = 4 * lane_tiles_c + 2 * (-(-s // 128)) + 1
         per_row = pad_sub * 128 * 4 * buffers
-        block_f = max(8, min(256, (6 * 1024 * 1024) // per_row))
-    while f % block_f != 0 and block_f > 1:
-        block_f //= 2
+        block_f = max(8, min(512, (8 * 1024 * 1024) // per_row))
+    # Largest power of two ≤ block_f that divides f (grid steps must tile f)
+    p = 1
+    while p * 2 <= block_f and f % (p * 2) == 0:
+        p *= 2
+    block_f = p
 
     kernel = _make_kernel(num_heads, depth, scale, mask is not None)
     operand_spec = pl.BlockSpec((block_f, s, c), lambda i: (i, 0, 0),

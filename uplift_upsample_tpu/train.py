@@ -402,7 +402,8 @@ def main(argv=None):
 
     args.weights = resolve_weight_selector(args.weights)
 
-    config = UpliftUpsampleConfig(config_file=args.config)
+    from .configs import resolve_config
+    config = resolve_config(args.config)
     assert config.ARCH == "UpliftUpsampleTransformer"
     config.AUGM_FLIP_KEYPOINT_ORDER = H36MOrder17P.flip_lr_indices()
 

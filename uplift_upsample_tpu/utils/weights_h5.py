@@ -76,11 +76,16 @@ def _block_params(h5_group, strided: bool) -> Dict[str, Dict]:
     }
 
 
-def load_keras_h5(path: str, model: UpliftUpsampleTransformer) -> Dict:
+def load_keras_h5(path: str, model: UpliftUpsampleTransformer,
+                  transform=None) -> Dict:
     """Read a reference-format `.h5` checkpoint into flax variables.
 
     Returns `{"params": ..., "batch_stats": ...}` (batch_stats only when the
     model has output BatchNorm heads).
+
+    `transform(path, value) -> value` is an optional per-weight hook applied
+    to every loaded array, keyed by its flax path string — the counterpart of
+    the reference's KerasWeightLoadingCallback (`weight_io.py:54-73`).
     """
     import h5py
 
@@ -140,10 +145,18 @@ def load_keras_h5(path: str, model: UpliftUpsampleTransformer) -> Dict:
             list(_group_weights(groups["strided_temporal_fc"]).values())[0])
 
     params = _to_float32(params)
+    if transform is not None:
+        params = _apply_transform(params, transform, "")
     variables = {"params": params}
     if batch_stats:
         variables["batch_stats"] = _to_float32(batch_stats)
     return variables
+
+
+def _apply_transform(tree, transform, prefix):
+    if isinstance(tree, dict):
+        return {k: _apply_transform(v, transform, f"{prefix}{k}/") for k, v in tree.items()}
+    return transform(prefix.rstrip("/"), tree)
 
 
 def _to_float32(tree):
