@@ -87,23 +87,26 @@ class MultiHeadAttention(nn.Module):
         kp = dense("wk")(x)
         vp = dense("wv")(x)
 
-        use_pallas = self.use_pallas and (self.attn_drop == 0 or deterministic)
-        if use_pallas:
-            from ..ops.pallas_attention import packed_multihead_attention, supported
-            mask_ok = mask is None or (mask.ndim == 4 and mask.shape[1] == 1
-                                       and mask.shape[2] == 1)
-            if supported(s, None) and mask_ok:
-                # Packed path: no head-split transpose, logits stay in VMEM
-                key_mask = None
-                if mask is not None:
-                    key_mask = jnp.broadcast_to(mask[:, 0, 0, :], (b, s))
-                out = packed_multihead_attention(qp, kp, vp, key_mask,
-                                                 num_heads=self.num_heads)
-                out = nn.Dense(self.dim, kernel_init=KERNEL_INIT, dtype=self.dtype,
-                               name="proj")(out)
-                if self.proj_drop > 0:
-                    out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
-                return out, None
+        # Optional fused Pallas path (logits stay in VMEM). The default is the
+        # split-head XLA form: measured as the *robust* fastest at all of this
+        # model's shapes — head-sliced/packed XLA variants look faster in
+        # isolation (no transposes) but XLA's fusion of their tiny-lane
+        # intermediates is fragile and regresses 5-10x inside the full graph.
+        packed_ok = self.attn_drop == 0 or deterministic
+        mask_ok = mask is None or (mask.ndim == 4 and mask.shape[1] == 1
+                                   and mask.shape[2] == 1)
+        if self.use_pallas and packed_ok and mask_ok and s <= 128:
+            key_mask = None
+            if mask is not None:
+                key_mask = jnp.broadcast_to(mask[:, 0, 0, :], (b, s))
+            from ..ops.pallas_attention import packed_multihead_attention
+            out = packed_multihead_attention(qp, kp, vp, key_mask,
+                                             num_heads=self.num_heads)
+            out = nn.Dense(self.dim, kernel_init=KERNEL_INIT, dtype=self.dtype,
+                           name="proj")(out)
+            if self.proj_drop > 0:
+                out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+            return out, None
 
         reshape = lambda t: t.reshape(b, s, self.num_heads, depth).transpose(0, 2, 1, 3)
         q, k, v = reshape(qp), reshape(kp), reshape(vp)
