@@ -193,6 +193,9 @@ class UpliftUpsampleConfig(Config):
     # Compute dtype for the forward pass: "float32" (bit-parity eval) or
     # "bfloat16" (throughput). Params are always stored in float32.
     COMPUTE_DTYPE = "float32"
+    # Optional dtype override for the (bandwidth-bound) spatial stage only,
+    # e.g. "bfloat16"; None inherits COMPUTE_DTYPE.
+    SPATIAL_COMPUTE_DTYPE = None
     # Use the fused Pallas attention kernel where shapes allow.
     USE_PALLAS_ATTENTION = False
     # Data-parallel devices to use (-1: all visible devices).

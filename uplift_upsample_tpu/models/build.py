@@ -47,6 +47,8 @@ def build_uplift_upsample_transformer(config: UpliftUpsampleConfig,
         token_mask_rate=config.TOKEN_MASK_RATE,
         learnable_masked_token=config.LEARNABLE_MASKED_TOKEN,
         dtype=dtype,
+        spatial_dtype=(jnp.dtype(config.SPATIAL_COMPUTE_DTYPE)
+                       if getattr(config, "SPATIAL_COMPUTE_DTYPE", None) else None),
         use_pallas=bool(getattr(config, "USE_PALLAS_ATTENTION", False)),
     )
     kwargs.update(overrides)

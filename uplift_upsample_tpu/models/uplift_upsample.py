@@ -72,6 +72,10 @@ class UpliftUpsampleTransformer(nn.Module):
     token_mask_rate: float = 0.0
     learnable_masked_token: bool = False
     dtype: jnp.dtype = jnp.float32
+    # Compute dtype for the spatial stage only (None → same as dtype). The
+    # spatial blocks are bandwidth-bound (tiny trailing dims lane-pad in HBM),
+    # so bf16 here nearly halves their cost; softmax stays f32 either way.
+    spatial_dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
 
     def _dpr(self, stage: int, depth: int):
@@ -94,15 +98,16 @@ class UpliftUpsampleTransformer(nn.Module):
         out_dim = 3 * self.num_keypoints
 
         # ---- spatial transformer over joints (frame-independent) ----------
+        sdtype = self.dtype if self.spatial_dtype is None else self.spatial_dtype
         if self.spatial_depth == 0:
             x = x.reshape(b, n, p * x.shape[-1])
         else:
-            x = x.reshape(b * n, p, x.shape[-1])
+            x = x.reshape(b * n, p, x.shape[-1]).astype(sdtype)
             x = nn.Dense(self.spatial_d_model, kernel_init=KERNEL_INIT,
-                         dtype=self.dtype, name="keypoint_embedding")(x)
+                         dtype=sdtype, name="keypoint_embedding")(x)
             spatial_pe = self.param("spatial_pe", PE_INIT,
                                     (self.num_keypoints, self.spatial_d_model))
-            x = x + spatial_pe.astype(self.dtype)
+            x = x + spatial_pe.astype(sdtype)
             if self.drop_rate > 0:
                 x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
             dpr = self._dpr(0, self.spatial_depth)
@@ -112,10 +117,11 @@ class UpliftUpsampleTransformer(nn.Module):
                     mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                     attn_dropout=self.attn_drop_rate, dropout=self.drop_rate,
                     drop_path_rate=dpr[i], activation=gelu_exact,
-                    dtype=self.dtype, use_pallas=self.use_pallas,
+                    dtype=sdtype, use_pallas=self.use_pallas,
                     name=f"spatial_block_{i + 1}",
                 )(x, deterministic=deterministic)
-            x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="spatial_norm")(x)
+            x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="spatial_norm")(
+                x.astype(self.dtype))
             x = x.reshape(b, n, p * self.spatial_d_model)
 
         x = nn.Dense(self.temporal_d_model, kernel_init=KERNEL_INIT,
