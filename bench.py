@@ -57,18 +57,31 @@ def main():
     parser.add_argument("--dtype", default="float32")
     parser.add_argument("--flip-tta", action="store_true")
     parser.add_argument("--pallas", action="store_true")
+    parser.add_argument("--no-fused-spatial", dest="fused_spatial", action="store_false",
+                        help="disable the fused Pallas spatial-stack kernel")
+    parser.set_defaults(fused_spatial=True)
     args = parser.parse_args()
 
     model, variables = build(args.dtype, args.pallas)
+    tail = model.clone(spatial_input=True)
+
+    def apply_model(variables, xm, sm):
+        if args.fused_spatial and model.spatial_depth > 0:
+            from uplift_upsample_tpu.ops.pallas_spatial import spatial_stack_apply
+            sp = spatial_stack_apply(variables["params"], xm,
+                                     num_blocks=model.spatial_depth,
+                                     num_heads=model.num_heads)
+            return tail.apply(variables, sp, stride_mask=sm, training=False)
+        return model.apply(variables, xm, stride_mask=sm, training=False)
 
     def forward(variables, x, sm):
         xm = x * sm[:, :, None, None].astype(x.dtype)
-        full, central = model.apply(variables, xm, stride_mask=sm, training=False)
+        full, central = apply_model(variables, xm, sm)
         if args.flip_tta:
             from uplift_upsample_tpu.data.keypoint_order import H36MOrder17P
             fi = jnp.asarray(H36MOrder17P.flip_lr_indices())
             xf = jnp.concatenate([-xm[..., :1], xm[..., 1:]], axis=-1)[:, :, fi]
-            _, cf = model.apply(variables, xf, stride_mask=sm, training=False)
+            _, cf = apply_model(variables, xf, sm)
             central = (central + jnp.concatenate(
                 [-cf[..., :1], cf[..., 1:]], axis=-1)[:, fi]) / 2
         return central

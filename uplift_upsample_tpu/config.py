@@ -198,5 +198,8 @@ class UpliftUpsampleConfig(Config):
     SPATIAL_COMPUTE_DTYPE = None
     # Use the fused Pallas attention kernel where shapes allow.
     USE_PALLAS_ATTENTION = False
+    # Use the fused Pallas spatial-stack kernel at eval (2.5x forward speedup;
+    # matches CPU-f32 truth to ~1e-5, tighter than the XLA TPU path).
+    USE_PALLAS_SPATIAL = False
     # Data-parallel devices to use (-1: all visible devices).
     DATA_PARALLEL_DEVICES = -1

@@ -38,20 +38,39 @@ def log(*args):
     sys.stdout.flush()
 
 
-def make_test_step(model, variables, flip_tta: bool, flip_lr_indices):
+def make_test_step(model, variables, flip_tta: bool, flip_lr_indices,
+                   fused_spatial: bool = False):
     """Jitted forward step with optional fused flip-TTA.
+
+    `fused_spatial` routes the spatial stage through the fused Pallas kernel
+    (ops/pallas_spatial.py) with the rest of the model spliced behind it.
 
     Returns fn(keypoints2d (B,N,K,2) unmasked, stride_mask (B,N) bool)
     → (pred_sequence (B,N,K,3) | None, pred_central (B,K,3)).
     """
     flip_idx = jnp.asarray(np.asarray(flip_lr_indices, dtype=np.int32))
 
-    def forward(keypoints2d, stride_mask):
-        x = keypoints2d
-        if model.has_strided_input:
-            x = x * stride_mask[:, :, None, None].astype(x.dtype)
-            return model.apply(variables, x, stride_mask=stride_mask, training=False)
-        return model.apply(variables, x, training=False)
+    if fused_spatial and model.spatial_depth > 0:
+        from .ops.pallas_spatial import spatial_stack_apply
+        tail = model.clone(spatial_input=True)
+
+        def forward(keypoints2d, stride_mask):
+            x = keypoints2d
+            if model.has_strided_input:
+                x = x * stride_mask[:, :, None, None].astype(x.dtype)
+            sp = spatial_stack_apply(variables["params"], x,
+                                     num_blocks=model.spatial_depth,
+                                     num_heads=model.num_heads)
+            if model.has_strided_input:
+                return tail.apply(variables, sp, stride_mask=stride_mask, training=False)
+            return tail.apply(variables, sp, training=False)
+    else:
+        def forward(keypoints2d, stride_mask):
+            x = keypoints2d
+            if model.has_strided_input:
+                x = x * stride_mask[:, :, None, None].astype(x.dtype)
+                return model.apply(variables, x, stride_mask=stride_mask, training=False)
+            return model.apply(variables, x, training=False)
 
     def step(keypoints2d, stride_mask):
         pred_seq, pred_central = forward(keypoints2d, stride_mask)
@@ -110,8 +129,10 @@ def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d
     num_examples = len(generator)
     log(f"Sequences: {num_examples}")
 
-    test_step = make_test_step(model, variables, flip_tta=config.EVAL_FLIP,
-                               flip_lr_indices=config.AUGM_FLIP_KEYPOINT_ORDER)
+    test_step = make_test_step(
+        model, variables, flip_tta=config.EVAL_FLIP,
+        flip_lr_indices=config.AUGM_FLIP_KEYPOINT_ORDER,
+        fused_spatial=bool(getattr(config, "USE_PALLAS_SPATIAL", False)))
 
     log(f"Running evaluation on '{test_subset}' with {num_examples} examples")
     start = time.time()

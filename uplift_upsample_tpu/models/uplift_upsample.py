@@ -77,6 +77,10 @@ class UpliftUpsampleTransformer(nn.Module):
     # so bf16 here nearly halves their cost; softmax stays f32 either way.
     spatial_dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
+    # When True, __call__ takes the spatial-stack output (B, N, P·spatial_d)
+    # instead of raw keypoints — used to splice in the fused Pallas spatial
+    # kernel (ops/pallas_spatial.py) outside the module.
+    spatial_input: bool = False
 
     def _dpr(self, stage: int, depth: int):
         rate = self.drop_path_rate
@@ -92,14 +96,20 @@ class UpliftUpsampleTransformer(nn.Module):
         Returns (full_output | None, central_output (B, K, 3)).
         """
         deterministic = not training
-        b, n, p, _ = x.shape
-        assert n == self.num_frames and p == self.num_keypoints
+        p = self.num_keypoints
+        if self.spatial_input:
+            b, n, _ = x.shape
+        else:
+            b, n = x.shape[:2]
+            assert n == self.num_frames and x.shape[2] == p
         x = x.astype(self.dtype)
         out_dim = 3 * self.num_keypoints
 
         # ---- spatial transformer over joints (frame-independent) ----------
         sdtype = self.dtype if self.spatial_dtype is None else self.spatial_dtype
-        if self.spatial_depth == 0:
+        if self.spatial_input:
+            pass  # x is already the (B, N, P·C) spatial-stack output
+        elif self.spatial_depth == 0:
             x = x.reshape(b, n, p * x.shape[-1])
         else:
             x = x.reshape(b * n, p, x.shape[-1]).astype(sdtype)

@@ -1,0 +1,221 @@
+"""Fully-fused spatial-transformer stack as one Pallas kernel.
+
+The spatial stage (embedding → 4 pre-norm blocks over 17 joint tokens →
+LayerNorm) is ~73% of forward time in XLA, dominated not by FLOPs but by
+tile padding: every (…, 17, 4|17|32) intermediate pads its trailing dims to
+the (8, 128) register tile in HBM *and* between fusions.
+
+This kernel runs the entire stack per tile of F = B·N frames with the
+frame axis on the 128-lane dimension:
+
+    activations: (P=17, C, bt)   — C∈{32, 64} sublane-exact, bt lanes full
+    logits:      (17, 17, bt)    — only the 17→24 sublane pad remains
+
+Dense layers are per-joint MXU dots ((C_out, C_in) @ (C_in, bt)); attention
+logits/context are rank-3 broadcast FMAs on the VPU; everything between the
+HBM read of the (17, 2, F) input and the write of the (17, C, F) output
+lives in VMEM.
+
+Deterministic (eval) path only — the XLA path remains for training (which
+needs dropout/drop-path RNG and autodiff).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _erf(x):
+    """Abramowitz–Stegun 7.1.26 rational approximation (|err| ≤ 1.5e-7).
+
+    Mosaic has no erf primitive; this is within f32 noise of exact for the
+    gelu used by the spatial blocks.
+    """
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _layer_norm(x, gamma, beta, eps):
+    # x: (P, C, bt); normalize over C (axis 1). Exact sqrt + divide — Mosaic's
+    # rsqrt is a fast approximation (~1e-3 rel) that drifts across 9 norms.
+    mu = jnp.mean(x, axis=1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axis=1, keepdims=True)
+    return (x - mu) / jnp.sqrt(var + eps) * gamma + beta
+
+
+def _dense_per_joint(x, w_t, bias, p_tokens):
+    """x: (P, C_in, bt) → (P, C_out, bt) via per-joint MXU dots.
+
+    w_t: (C_out, C_in) transposed kernel; bias: (C_out, 1) or None.
+    HIGHEST precision: Mosaic's default lowers f32 dots to 1-pass bf16,
+    which drifts ~1e-1 through the 4-block stack.
+    """
+    rows = []
+    for p in range(p_tokens):
+        y = jax.lax.dot_general(w_t, x[p], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+        rows.append(y if bias is None else y + bias)
+    return jnp.stack(rows, axis=0)
+
+
+def _make_kernel(num_blocks: int, p_tokens: int, c: int, hidden: int,
+                 num_heads: int, mlp_gelu: bool):
+    depth = c // num_heads
+    scale = 1.0 / float(depth) ** 0.5
+
+    def kernel(x_ref, emb_w_ref, emb_b_ref, pe_ref,
+               ln1_g_ref, ln1_b_ref, wq_ref, bq_ref, wk_ref, bk_ref,
+               wv_ref, bv_ref, wp_ref, bp_ref, ln2_g_ref, ln2_b_ref,
+               w1_ref, b1_ref, w2_ref, b2_ref, norm_g_ref, norm_b_ref,
+               o_ref):
+        # Embedding: (P, 2, bt) → (P, C, bt), then + PE
+        emb_w_t = emb_w_ref[:].T  # (C, 2)
+        emb_b = emb_b_ref[:].reshape(c, 1)
+        x = _dense_per_joint(x_ref[:].astype(jnp.float32), emb_w_t, emb_b, p_tokens)
+        x = x + pe_ref[:][:, :, None]  # (P, C) broadcast over lanes
+
+        for blk in range(num_blocks):
+            g1 = ln1_g_ref[blk].reshape(c, 1)
+            b1_ = ln1_b_ref[blk].reshape(c, 1)
+            y = _layer_norm(x, g1, b1_, 1e-5)
+
+            q = _dense_per_joint(y, wq_ref[blk].T, bq_ref[blk].reshape(c, 1), p_tokens)
+            k = _dense_per_joint(y, wk_ref[blk].T, bk_ref[blk].reshape(c, 1), p_tokens)
+            v = _dense_per_joint(y, wv_ref[blk].T, bv_ref[blk].reshape(c, 1), p_tokens)
+
+            # Attention: per head, logits/softmax/context on (17, 17, bt)
+            ctx_rows = []  # per channel e = h*depth + d: (P, bt)
+            for h in range(num_heads):
+                logits = None
+                for d in range(depth):
+                    e = h * depth + d
+                    qd = q[:, e, :][:, None, :]   # (P, 1, bt)
+                    kd = k[:, e, :][None, :, :]   # (1, P, bt)
+                    contrib = qd * kd
+                    logits = contrib if logits is None else logits + contrib
+                logits = logits * scale
+                m = jnp.max(logits, axis=1, keepdims=True)
+                ex = jnp.exp(logits - m)
+                w = ex / jnp.sum(ex, axis=1, keepdims=True)  # (P, P, bt)
+                for d in range(depth):
+                    e = h * depth + d
+                    vd = v[:, e, :][None, :, :]   # (1, P, bt)
+                    ctx_rows.append(jnp.sum(w * vd, axis=1))  # (P, bt)
+            ctx = jnp.stack(ctx_rows, axis=1)  # (P, C, bt)
+
+            proj = _dense_per_joint(ctx, wp_ref[blk].T, bp_ref[blk].reshape(c, 1),
+                                    p_tokens)
+            x = x + proj
+
+            g2 = ln2_g_ref[blk].reshape(c, 1)
+            b2_ = ln2_b_ref[blk].reshape(c, 1)
+            z = _layer_norm(x, g2, b2_, 1e-5)
+            h1 = _dense_per_joint(z, w1_ref[blk].T, b1_ref[blk].reshape(hidden, 1),
+                                  p_tokens)
+            if mlp_gelu:
+                h1 = 0.5 * h1 * (1.0 + _erf(h1 * np.float32(1.0 / np.sqrt(2.0))))
+            else:
+                h1 = jnp.maximum(h1, 0.0)
+            z = _dense_per_joint(h1, w2_ref[blk].T, b2_ref[blk].reshape(c, 1),
+                                 p_tokens)
+            x = x + z
+
+        # Final spatial_norm (eps 1e-6)
+        x = _layer_norm(x, norm_g_ref[:].reshape(c, 1), norm_b_ref[:].reshape(c, 1),
+                        1e-6)
+        o_ref[:] = x.astype(o_ref.dtype)
+
+    return kernel
+
+
+def stack_spatial_params(params: Dict, num_blocks: int):
+    """Collect the spatial-stack params into the kernel's stacked operands."""
+    blocks = [params[f"spatial_block_{i + 1}"] for i in range(num_blocks)]
+    st = lambda get: jnp.stack([jnp.asarray(get(b), jnp.float32) for b in blocks])
+    return dict(
+        emb_w=jnp.asarray(params["keypoint_embedding"]["kernel"], jnp.float32),
+        emb_b=jnp.asarray(params["keypoint_embedding"]["bias"], jnp.float32),
+        pe=jnp.asarray(params["spatial_pe"], jnp.float32),
+        ln1_g=st(lambda b: b["norm1"]["scale"]), ln1_b=st(lambda b: b["norm1"]["bias"]),
+        wq=st(lambda b: b["attn"]["wq"]["kernel"]), bq=st(lambda b: b["attn"]["wq"]["bias"]),
+        wk=st(lambda b: b["attn"]["wk"]["kernel"]), bk=st(lambda b: b["attn"]["wk"]["bias"]),
+        wv=st(lambda b: b["attn"]["wv"]["kernel"]), bv=st(lambda b: b["attn"]["wv"]["bias"]),
+        wp=st(lambda b: b["attn"]["proj"]["kernel"]), bp=st(lambda b: b["attn"]["proj"]["bias"]),
+        ln2_g=st(lambda b: b["norm2"]["scale"]), ln2_b=st(lambda b: b["norm2"]["bias"]),
+        w1=st(lambda b: b["mlp"]["fc1"]["kernel"]), b1=st(lambda b: b["mlp"]["fc1"]["bias"]),
+        w2=st(lambda b: b["mlp"]["fc2"]["kernel"]), b2=st(lambda b: b["mlp"]["fc2"]["bias"]),
+        norm_g=jnp.asarray(params["spatial_norm"]["scale"], jnp.float32),
+        norm_b=jnp.asarray(params["spatial_norm"]["bias"], jnp.float32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("num_blocks", "num_heads", "mlp_gelu",
+                                             "block_f"))
+def fused_spatial_stack(x_t: jax.Array, stacked: Dict, *, num_blocks: int,
+                        num_heads: int, mlp_gelu: bool = True,
+                        block_f: int = 256) -> jax.Array:
+    """x_t: (P, 2, F) transposed input → (P, C, F) spatial-stack output."""
+    p_tokens, c_in, f = x_t.shape
+    c = stacked["emb_w"].shape[1]
+    hidden = stacked["w1"].shape[2]
+    # The lane (frame) dim must tile by block_f with block_f % 128 == 0
+    assert block_f % 128 == 0 and f % block_f == 0, (f, block_f)
+
+    kernel = _make_kernel(num_blocks, p_tokens, c, hidden, num_heads, mlp_gelu)
+
+    def full(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=pltpu.VMEM)
+
+    param_order = ["emb_w", "emb_b", "pe", "ln1_g", "ln1_b", "wq", "bq", "wk", "bk",
+                   "wv", "bv", "wp", "bp", "ln2_g", "ln2_b", "w1", "b1", "w2", "b2",
+                   "norm_g", "norm_b"]
+    in_specs = [pl.BlockSpec((p_tokens, c_in, block_f), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM)]
+    in_specs += [full(stacked[name].shape) for name in param_order]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(f // block_f,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((p_tokens, c, block_f), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p_tokens, c, f), jnp.float32),
+    )(x_t, *[stacked[name] for name in param_order])
+
+
+def spatial_stack_apply(params: Dict, x2d: jax.Array, *, num_blocks: int,
+                        num_heads: int, block_f: int = 256) -> jax.Array:
+    """(B, N, P, 2) masked keypoints → (B, N, P·C) spatial output.
+
+    Drop-in replacement for the model's spatial_transformation +
+    reshape (pre spatial_to_temporal Dense), eval mode.
+    """
+    b, n, p, c_in = x2d.shape
+    f = b * n
+    x_t = x2d.reshape(f, p, c_in).transpose(1, 2, 0)  # (P, 2, F)
+    # Pad frames to a block_f multiple (block_f itself must be 128-aligned)
+    while block_f > 128 and f < block_f:
+        block_f //= 2
+    block_f = max(block_f, 128)
+    f_pad = -(-f // block_f) * block_f
+    if f_pad != f:
+        x_t = jnp.pad(x_t, ((0, 0), (0, 0), (0, f_pad - f)))
+    stacked = stack_spatial_params(params, num_blocks)
+    y = fused_spatial_stack(x_t, stacked, num_blocks=num_blocks,
+                            num_heads=num_heads, block_f=block_f)  # (P, C, F_pad)
+    c = y.shape[1]
+    return y[:, :, :f].transpose(2, 0, 1).reshape(b, n, p * c)
