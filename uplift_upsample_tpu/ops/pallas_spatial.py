@@ -55,24 +55,26 @@ def _layer_norm(x, gamma, beta, eps):
     return (x - mu) / jnp.sqrt(var + eps) * gamma + beta
 
 
-def _dense_per_joint(x, w_t, bias, p_tokens):
+def _dense_per_joint(x, w_t, bias, p_tokens, precision):
     """x: (P, C_in, bt) → (P, C_out, bt) via per-joint MXU dots.
 
     w_t: (C_out, C_in) transposed kernel; bias: (C_out, 1) or None.
-    HIGHEST precision: Mosaic's default lowers f32 dots to 1-pass bf16,
-    which drifts ~1e-1 through the 4-block stack.
+    Raised precision: Mosaic's default lowers f32 dots to 1-pass bf16,
+    which drifts ~1e-1 through the 4-block stack (random weights); HIGHEST
+    matches CPU f32 to ~6e-6. Mosaic supports only DEFAULT and HIGHEST
+    (the kernel is ~11.8 vs ~19.1 ms/batch-1024 respectively).
     """
     rows = []
     for p in range(p_tokens):
         y = jax.lax.dot_general(w_t, x[p], (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.HIGHEST)
+                                precision=precision)
         rows.append(y if bias is None else y + bias)
     return jnp.stack(rows, axis=0)
 
 
 def _make_kernel(num_blocks: int, p_tokens: int, c: int, hidden: int,
-                 num_heads: int, mlp_gelu: bool):
+                 num_heads: int, mlp_gelu: bool, precision):
     depth = c // num_heads
     scale = 1.0 / float(depth) ** 0.5
 
@@ -84,7 +86,7 @@ def _make_kernel(num_blocks: int, p_tokens: int, c: int, hidden: int,
         # Embedding: (P, 2, bt) → (P, C, bt), then + PE
         emb_w_t = emb_w_ref[:].T  # (C, 2)
         emb_b = emb_b_ref[:].reshape(c, 1)
-        x = _dense_per_joint(x_ref[:].astype(jnp.float32), emb_w_t, emb_b, p_tokens)
+        x = _dense_per_joint(x_ref[:].astype(jnp.float32), emb_w_t, emb_b, p_tokens, precision)
         x = x + pe_ref[:][:, :, None]  # (P, C) broadcast over lanes
 
         for blk in range(num_blocks):
@@ -92,13 +94,15 @@ def _make_kernel(num_blocks: int, p_tokens: int, c: int, hidden: int,
             b1_ = ln1_b_ref[blk].reshape(c, 1)
             y = _layer_norm(x, g1, b1_, 1e-5)
 
-            q = _dense_per_joint(y, wq_ref[blk].T, bq_ref[blk].reshape(c, 1), p_tokens)
-            k = _dense_per_joint(y, wk_ref[blk].T, bk_ref[blk].reshape(c, 1), p_tokens)
-            v = _dense_per_joint(y, wv_ref[blk].T, bv_ref[blk].reshape(c, 1), p_tokens)
+            q = _dense_per_joint(y, wq_ref[blk].T, bq_ref[blk].reshape(c, 1), p_tokens, precision)
+            k = _dense_per_joint(y, wk_ref[blk].T, bk_ref[blk].reshape(c, 1), p_tokens, precision)
+            v = _dense_per_joint(y, wv_ref[blk].T, bv_ref[blk].reshape(c, 1), p_tokens, precision)
 
-            # Attention: per head, logits/softmax/context on (17, 17, bt)
-            ctx_rows = []  # per channel e = h*depth + d: (P, bt)
+            # Attention: per head, logits/softmax on (17, 17, bt); context
+            # accumulated as per-key outer products on (17, depth, bt)
+            ctx_heads = []
             for h in range(num_heads):
+                sl = slice(h * depth, (h + 1) * depth)
                 logits = None
                 for d in range(depth):
                     e = h * depth + d
@@ -110,27 +114,28 @@ def _make_kernel(num_blocks: int, p_tokens: int, c: int, hidden: int,
                 m = jnp.max(logits, axis=1, keepdims=True)
                 ex = jnp.exp(logits - m)
                 w = ex / jnp.sum(ex, axis=1, keepdims=True)  # (P, P, bt)
-                for d in range(depth):
-                    e = h * depth + d
-                    vd = v[:, e, :][None, :, :]   # (1, P, bt)
-                    ctx_rows.append(jnp.sum(w * vd, axis=1))  # (P, bt)
-            ctx = jnp.stack(ctx_rows, axis=1)  # (P, C, bt)
+                ctx_h = None
+                for kk in range(p_tokens):
+                    piece = w[:, kk, :][:, None, :] * v[kk, sl, :][None, :, :]
+                    ctx_h = piece if ctx_h is None else ctx_h + piece  # (P, depth, bt)
+                ctx_heads.append(ctx_h)
+            ctx = jnp.concatenate(ctx_heads, axis=1)  # (P, C, bt)
 
             proj = _dense_per_joint(ctx, wp_ref[blk].T, bp_ref[blk].reshape(c, 1),
-                                    p_tokens)
+                                    p_tokens, precision)
             x = x + proj
 
             g2 = ln2_g_ref[blk].reshape(c, 1)
             b2_ = ln2_b_ref[blk].reshape(c, 1)
             z = _layer_norm(x, g2, b2_, 1e-5)
             h1 = _dense_per_joint(z, w1_ref[blk].T, b1_ref[blk].reshape(hidden, 1),
-                                  p_tokens)
+                                  p_tokens, precision)
             if mlp_gelu:
                 h1 = 0.5 * h1 * (1.0 + _erf(h1 * np.float32(1.0 / np.sqrt(2.0))))
             else:
                 h1 = jnp.maximum(h1, 0.0)
             z = _dense_per_joint(h1, w2_ref[blk].T, b2_ref[blk].reshape(c, 1),
-                                 p_tokens)
+                                 p_tokens, precision)
             x = x + z
 
         # Final spatial_norm (eps 1e-6)
@@ -163,10 +168,11 @@ def stack_spatial_params(params: Dict, num_blocks: int):
 
 
 @functools.partial(jax.jit, static_argnames=("num_blocks", "num_heads", "mlp_gelu",
-                                             "block_f"))
+                                             "block_f", "precision"))
 def fused_spatial_stack(x_t: jax.Array, stacked: Dict, *, num_blocks: int,
                         num_heads: int, mlp_gelu: bool = True,
-                        block_f: int = 256) -> jax.Array:
+                        block_f: int = 256,
+                        precision=jax.lax.Precision.HIGHEST) -> jax.Array:
     """x_t: (P, 2, F) transposed input → (P, C, F) spatial-stack output."""
     p_tokens, c_in, f = x_t.shape
     c = stacked["emb_w"].shape[1]
@@ -174,7 +180,8 @@ def fused_spatial_stack(x_t: jax.Array, stacked: Dict, *, num_blocks: int,
     # The lane (frame) dim must tile by block_f with block_f % 128 == 0
     assert block_f % 128 == 0 and f % block_f == 0, (f, block_f)
 
-    kernel = _make_kernel(num_blocks, p_tokens, c, hidden, num_heads, mlp_gelu)
+    kernel = _make_kernel(num_blocks, p_tokens, c, hidden, num_heads, mlp_gelu,
+                          precision)
 
     def full(shape):
         nd = len(shape)
@@ -198,7 +205,8 @@ def fused_spatial_stack(x_t: jax.Array, stacked: Dict, *, num_blocks: int,
 
 
 def spatial_stack_apply(params: Dict, x2d: jax.Array, *, num_blocks: int,
-                        num_heads: int, block_f: int = 256) -> jax.Array:
+                        num_heads: int, block_f: int = 256,
+                        precision=jax.lax.Precision.HIGHEST) -> jax.Array:
     """(B, N, P, 2) masked keypoints → (B, N, P·C) spatial output.
 
     Drop-in replacement for the model's spatial_transformation +
@@ -216,6 +224,7 @@ def spatial_stack_apply(params: Dict, x2d: jax.Array, *, num_blocks: int,
         x_t = jnp.pad(x_t, ((0, 0), (0, 0), (0, f_pad - f)))
     stacked = stack_spatial_params(params, num_blocks)
     y = fused_spatial_stack(x_t, stacked, num_blocks=num_blocks,
-                            num_heads=num_heads, block_f=block_f)  # (P, C, F_pad)
+                            num_heads=num_heads, block_f=block_f,
+                            precision=precision)  # (P, C, F_pad)
     c = y.shape[1]
     return y[:, :, :f].transpose(2, 0, 1).reshape(b, n, p * c)

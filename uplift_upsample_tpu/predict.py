@@ -1,0 +1,123 @@
+"""Inference CLI: 2D keypoint sequences → 3D pose sequences.
+
+Takes normalized 2D keypoints ((T, 17, 2), VideoPose3D 17-point order or the
+canonical order) and produces per-frame 3D poses using the eval protocol:
+sliding windows at SEQUENCE_STRIDE, central-frame predictions at keyframes,
+linear interpolation in between, optional flip-TTA.
+
+    python -m uplift_upsample_tpu.predict --weights w.h5 --config h36m_351 \
+        --input keypoints_2d.npz --output poses_3d.npz [--input_order vp3d]
+
+Input npz: either a raw (T, 17, 2) array under 'positions_2d' (single
+sequence) or a dict {name: (T, 17, 2)}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .config import UpliftUpsampleConfig
+from .configs import resolve_config
+from .data.generator import H36mSequenceGenerator
+from .data.keypoint_order import H36MOrder17POriginalOrder
+from .eval import make_test_step
+from .models import build_uplift_upsample_transformer
+from .utils.eval_protocol import interpolate_between_keyframes
+from .utils.weights_h5 import load_keras_h5
+
+
+def predict_sequence(model, variables, config: UpliftUpsampleConfig,
+                     keypoints_2d: np.ndarray, flip_tta: bool = True) -> np.ndarray:
+    """(T, K, 2) normalized 2D → (T, K, 3) root-relative 3D (meters)."""
+    t, k, _ = keypoints_2d.shape
+    dummy_3d = np.zeros((t, k, 3), dtype=np.float32)
+    generator = H36mSequenceGenerator(
+        [dummy_3d], [keypoints_2d.astype(np.float32)],
+        camera_params=[np.zeros(11, np.float32)], subjects=[0], actions=[0],
+        frame_rates=[50], split="predict", seq_len=config.SEQUENCE_LENGTH,
+        subsample=1, stride=config.SEQUENCE_STRIDE, padding_type=config.PADDING_TYPE,
+        mask_stride=config.MASK_STRIDE, stride_mask_align_global=True,
+        rand_shift_stride_mask=False, flip_augment=False, shuffle=False,
+        verbose=False)
+
+    step = make_test_step(model, variables, flip_tta=flip_tta,
+                          flip_lr_indices=config.AUGM_FLIP_KEYPOINT_ORDER,
+                          fused_spatial=bool(getattr(config, "USE_PALLAS_SPATIAL", False)))
+
+    preds, indices = [], []
+    batch_2d, batch_sm = [], []
+
+    def flush():
+        if not batch_2d:
+            return
+        seq2d = jnp.asarray(np.stack(batch_2d))
+        sm = jnp.asarray(np.stack(batch_sm))
+        _, central = step(seq2d, sm)
+        preds.extend(np.asarray(central))
+        batch_2d.clear()
+        batch_sm.clear()
+
+    for item in generator.next_epoch_iterator():
+        _, seq2d, _, _, _, _, idx, stride_mask = item
+        batch_2d.append(seq2d)
+        batch_sm.append(stride_mask)
+        indices.append(idx)
+        if len(batch_2d) == config.BATCH_SIZE:
+            flush()
+    flush()
+
+    pred = np.stack(preds).astype(np.float64)
+    indices = np.asarray(indices)
+    if config.SEQUENCE_STRIDE > 1 and config.TEST_STRIDED_EVAL:
+        strides = np.full(indices.shape[0], config.SEQUENCE_STRIDE)
+        pred, _ = interpolate_between_keyframes(pred, indices, strides)
+    return pred.astype(np.float32)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="2D→3D pose inference")
+    parser.add_argument("--weights", required=True)
+    parser.add_argument("--config", required=False, default="h36m_351")
+    parser.add_argument("--input", required=True, help="npz with 'positions_2d'")
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--input_order", choices=["ours", "vp3d"], default="ours")
+    parser.add_argument("--forced_mask_stride", type=int, default=None)
+    parser.add_argument("--no_flip_tta", dest="flip_tta", action="store_false")
+    parser.set_defaults(flip_tta=True)
+    args = parser.parse_args(argv)
+
+    config = resolve_config(args.config)
+    if args.forced_mask_stride is not None:
+        config.MASK_STRIDE = args.forced_mask_stride
+    elif isinstance(config.MASK_STRIDE, list):
+        config.MASK_STRIDE = config.MASK_STRIDE[0]
+
+    model = build_uplift_upsample_transformer(config)
+    variables = load_keras_h5(args.weights, model)
+
+    data = np.load(args.input, allow_pickle=True)
+    raw = data["positions_2d"]
+    sequences = raw.item() if raw.dtype == object and raw.shape == () else {"sequence": raw}
+
+    out = {}
+    for name, kps in sequences.items():
+        kps = np.asarray(kps, dtype=np.float32)
+        assert kps.ndim == 3 and kps.shape[1:] == (17, 2), kps.shape
+        if args.input_order == "vp3d":
+            kps = kps[:, H36MOrder17POriginalOrder.to_our_17p_order()]
+        out[name] = predict_sequence(model, variables, config, kps,
+                                     flip_tta=args.flip_tta)
+        print(f"{name}: {kps.shape[0]} frames -> 3D {out[name].shape}")
+        sys.stdout.flush()
+
+    np.savez_compressed(args.output, **out)
+    print(f"wrote {args.output}")
+
+
+if __name__ == "__main__":
+    main()
