@@ -1,0 +1,35 @@
+"""Fused temporal-block kernel vs the flax TransformerBlock (interpret mode)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from uplift_upsample_tpu.models.primitives import TransformerBlock
+from uplift_upsample_tpu.ops.pallas_temporal import fused_temporal_block
+
+
+@pytest.mark.parametrize("mask", [False, True])
+def test_fused_temporal_block_matches_flax(mask):
+    b, s, c, heads = 8, 71, 384, 8
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(b, s, c)).astype(np.float32) * 0.5)
+
+    block = TransformerBlock(dim=c, num_heads=heads, mlp_ratio=2.0, qkv_bias=True,
+                             activation=jax.nn.relu)
+    variables = block.init(jax.random.PRNGKey(0), x)
+
+    key_mask = None
+    mask4 = None
+    if mask:
+        key_mask = jnp.asarray(rng.uniform(size=(b, s)) < 0.5)
+        mask4 = key_mask.astype(jnp.float32)[:, None, None, :]
+
+    ref, _ = block.apply(variables, x, mask=mask4, deterministic=True)
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_temporal_block(x, variables["params"], key_mask,
+                                   num_heads=heads, windows_per_tile=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)
