@@ -201,5 +201,9 @@ class UpliftUpsampleConfig(Config):
     # Use the fused Pallas spatial-stack kernel at eval (2.5x forward speedup;
     # matches CPU-f32 truth to ~1e-5, tighter than the XLA TPU path).
     USE_PALLAS_SPATIAL = False
+    # Matmul precision for eval ("default" | "high" | "highest"): TPU default
+    # runs f32 dots as 1-pass bf16; "highest" restores f32 for strict
+    # checkpoint parity at ~3x GEMM cost.
+    EVAL_MATMUL_PRECISION = "default"
     # Data-parallel devices to use (-1: all visible devices).
     DATA_PARALLEL_DEVICES = -1

@@ -143,22 +143,25 @@ def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d
     gt_subjects, gt_actions, gt_indices = [], [], []
     examples = 0
     # Native-accelerated batches; chained deterministic epochs == the
-    # reference's repeat(2) → batch → take(ceil) protocol
+    # reference's repeat(2) → batch → take(ceil) protocol. Matmul precision
+    # binds at trace time (first test_step call inside the context).
     num_batches = int(np.ceil(num_examples / config.BATCH_SIZE))
     fast = FastH36mBatcher(generator, batch_size=config.BATCH_SIZE)
-    for batch in itertools.islice(fast.batches(), num_batches):
-        seq3d, seq2d, seq_mask, cams, subjects, actions, indices, stride_masks = batch
-        _, pred = test_step(jnp.asarray(seq2d), jnp.asarray(stride_masks))
-        pred = np.asarray(jax.device_get(pred))
+    with jax.default_matmul_precision(
+            getattr(config, "EVAL_MATMUL_PRECISION", "default") or "default"):
+        for batch in itertools.islice(fast.batches(), num_batches):
+            seq3d, seq2d, seq_mask, cams, subjects, actions, indices, stride_masks = batch
+            _, pred = test_step(jnp.asarray(seq2d), jnp.asarray(stride_masks))
+            pred = np.asarray(jax.device_get(pred))
 
-        include = min(config.BATCH_SIZE, num_examples - examples)
-        seq3d = seq3d - seq3d[:, :, root:root + 1, :]
-        gt_central.extend(seq3d[:include, mid_index])
-        pred_central.extend(pred[:include])
-        gt_subjects.extend(subjects[:include])
-        gt_actions.extend(actions[:include])
-        gt_indices.extend(indices[:include])
-        examples += include
+            include = min(config.BATCH_SIZE, num_examples - examples)
+            seq3d = seq3d - seq3d[:, :, root:root + 1, :]
+            gt_central.extend(seq3d[:include, mid_index])
+            pred_central.extend(pred[:include])
+            gt_subjects.extend(subjects[:include])
+            gt_actions.extend(actions[:include])
+            gt_indices.extend(indices[:include])
+            examples += include
 
     gt_central = np.stack(gt_central, axis=0).astype(np.float64)
     gt_central = np.concatenate(
