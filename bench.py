@@ -52,7 +52,7 @@ def build(dtype: str, use_pallas: bool):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=1024)
+    parser.add_argument("--batch", type=int, default=2048)
     parser.add_argument("--iters", type=int, default=30)
     parser.add_argument("--dtype", default="float32")
     parser.add_argument("--flip-tta", action="store_true")
@@ -68,9 +68,13 @@ def main():
     def apply_model(variables, xm, sm):
         if args.fused_spatial and model.spatial_depth > 0:
             from uplift_upsample_tpu.ops.pallas_spatial import spatial_stack_apply
+            # DEFAULT-precision dots: apples-to-apples with the XLA
+            # baseline (which also runs TPU default matmul precision);
+            # parity-grade eval uses HIGHEST (see ops/pallas_spatial.py)
             sp = spatial_stack_apply(variables["params"], xm,
                                      num_blocks=model.spatial_depth,
-                                     num_heads=model.num_heads)
+                                     num_heads=model.num_heads,
+                                     precision=jax.lax.Precision.DEFAULT)
             return tail.apply(variables, sp, stride_mask=sm, training=False)
         return model.apply(variables, xm, stride_mask=sm, training=False)
 
@@ -102,7 +106,9 @@ def main():
     def loop(variables, x, sm, m):
         def body(carry, _):
             central = forward(variables, x + carry, sm)
-            return jnp.sum(central[0, 0]) * 1e-20, None
+            # Full reduction: a sliced carry would let XLA dead-code-eliminate
+            # the rest of the batch (observed on plain GEMM chains)
+            return jnp.sum(central) * 1e-20, None
         carry, _ = jax.lax.scan(body, jnp.zeros([], x.dtype), None, length=m)
         return carry
 

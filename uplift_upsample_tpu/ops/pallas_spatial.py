@@ -171,7 +171,7 @@ def stack_spatial_params(params: Dict, num_blocks: int):
                                              "block_f", "precision"))
 def fused_spatial_stack(x_t: jax.Array, stacked: Dict, *, num_blocks: int,
                         num_heads: int, mlp_gelu: bool = True,
-                        block_f: int = 256,
+                        block_f: int = 128,
                         precision=jax.lax.Precision.HIGHEST) -> jax.Array:
     """x_t: (P, 2, F) transposed input → (P, C, F) spatial-stack output."""
     p_tokens, c_in, f = x_t.shape
@@ -205,7 +205,7 @@ def fused_spatial_stack(x_t: jax.Array, stacked: Dict, *, num_blocks: int,
 
 
 def spatial_stack_apply(params: Dict, x2d: jax.Array, *, num_blocks: int,
-                        num_heads: int, block_f: int = 256,
+                        num_heads: int, block_f: int = 128,
                         precision=jax.lax.Precision.HIGHEST) -> jax.Array:
     """(B, N, P, 2) masked keypoints → (B, N, P·C) spatial output.
 
