@@ -1,0 +1,94 @@
+"""Fused-spatial training path: gradients must match the flax path.
+
+Runs in interpreter mode on CPU; stochastic depth disabled for the exact
+comparison (the masks differ between paths by construction), plus a smoke
+test with stochastic depth enabled.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from uplift_upsample_tpu.config import UpliftUpsampleConfig
+from uplift_upsample_tpu.models import build_uplift_upsample_transformer, init_model_params
+from uplift_upsample_tpu.parallel import TrainState, make_optimizer, make_train_step
+
+
+def _config(**over):
+    config = UpliftUpsampleConfig()
+    config.update_from({
+        "SEQUENCE_LENGTH": 9, "SEQUENCE_STRIDE": 5, "SPATIAL_EMBED_DIM": 16,
+        "TEMPORAL_EMBED_DIM": 32, "SPATIAL_TRANSFORMER_BLOCKS": 2,
+        "TEMPORAL_TRANSFORMER_BLOCKS": 2, "STRIDES": [3, 3],
+        "PADDINGS": [[0, 0], [0, 0]], "NUM_HEADS": 4, "MASK_STRIDE": [5, 10, 20],
+        "FIRST_STRIDED_TOKEN_ATTENTION_LAYER": 1, "BATCH_SIZE": 8,
+        "DROP_PATH_RATE": 0.0, "DROP_RATE": 0.0, "TOKEN_MASK_RATE": 0.0,
+        "OPTIMIZER": "AdamW", "OPTIMIZER_PARAMS": {}, "WEIGHT_DECAY": 4e-6,
+        "EMA_ENABLED": False,
+        "SCHEDULE": "ExponentialDecay",
+        "SCHEDULE_PARAMS": {"initial_learning_rate": 1e-4, "decay_steps": 6000,
+                            "decay_rate": 0.99, "staircase": True},
+    })
+    config.update_from(over)
+    return config
+
+
+def _batch(config, seed=0):
+    rng = np.random.default_rng(seed)
+    b, n, k = config.BATCH_SIZE, config.SEQUENCE_LENGTH, config.NUM_KEYPOINTS
+    return (
+        rng.normal(size=(b, n, k, 3)).astype(np.float32) * 0.1,
+        rng.normal(size=(b, n, k, 2)).astype(np.float32) * 0.1,
+        np.ones((b, n), np.float32),
+        np.zeros((b, 11), np.float32),
+        np.zeros((b,), np.int32), np.zeros((b,), np.int32), np.zeros((b,), np.int32),
+        (np.arange(n) % 5 == 4)[None].repeat(b, 0),
+    )
+
+
+def _run_steps(config, n_steps=2):
+    from uplift_upsample_tpu.parallel.train_step import make_loss_fn
+    model = build_uplift_upsample_transformer(config)
+    params = init_model_params(model, seed=0)["params"]
+    loss_fn = make_loss_fn(model, config)
+    batch = tuple(jnp.asarray(a) for a in _batch(config))
+    rngs = {name: jax.random.PRNGKey(i) for i, name in
+            enumerate(("dropout", "droppath", "token_mask"))}
+    loss, grads = jax.value_and_grad(loss_fn)(params, batch, rngs)
+    return float(loss), grads
+
+
+def test_fused_train_grads_match_flax():
+    with pltpu.force_tpu_interpret_mode():
+        loss_f, grads_f = _run_steps(_config(TRAIN_FUSED_SPATIAL=True))
+    loss_x, grads_x = _run_steps(_config(TRAIN_FUSED_SPATIAL=False))
+
+    assert np.isclose(loss_f, loss_x, atol=1e-5), (loss_f, loss_x)
+    flat_f = jax.tree_util.tree_flatten_with_path(grads_f)[0]
+    flat_x = {"/".join(str(k) for k in kp): v
+              for kp, v in jax.tree_util.tree_flatten_with_path(grads_x)[0]}
+    for kp, gf in flat_f:
+        key = "/".join(str(k) for k in kp)
+        gx = flat_x[key]
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                                   atol=5e-5, rtol=1e-3, err_msg=key)
+
+
+def test_fused_train_step_with_droppath_smoke():
+    config = _config(TRAIN_FUSED_SPATIAL=True, DROP_PATH_RATE=[0.2, 0.0, 0.0])
+    model = build_uplift_upsample_transformer(config)
+    params = init_model_params(model, seed=0)["params"]
+    tx, _, _ = make_optimizer(config)
+    state = TrainState(params=params, opt_state=tx.init(params), ema_params=None,
+                       step=jnp.zeros([], jnp.int32))
+    step = make_train_step(model, tx, config)
+    batch = tuple(jnp.asarray(a) for a in _batch(config))
+    with pltpu.force_tpu_interpret_mode():
+        losses = []
+        for _ in range(3):
+            state, loss = step(state, batch)
+            losses.append(float(loss))
+    assert all(np.isfinite(l) for l in losses)

@@ -201,6 +201,9 @@ class UpliftUpsampleConfig(Config):
     # Use the fused Pallas spatial-stack kernel at eval (2.5x forward speedup;
     # matches CPU-f32 truth to ~1e-5, tighter than the XLA TPU path).
     USE_PALLAS_SPATIAL = False
+    # Fused Pallas spatial forward in training (custom VJP; backward runs the
+    # XLA-equivalent function). Requires DROP_RATE == 0 and TOKEN_MASK_RATE == 0.
+    TRAIN_FUSED_SPATIAL = False
     # Matmul precision for eval ("default" | "high" | "highest"): TPU default
     # runs f32 dots as 1-pass bf16; "highest" restores f32 for strict
     # checkpoint parity at ~3x GEMM cost.

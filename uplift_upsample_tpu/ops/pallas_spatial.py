@@ -74,7 +74,8 @@ def _dense_per_joint(x, w_t, bias, p_tokens, precision):
 
 
 def _make_kernel(num_blocks: int, p_tokens: int, c: int, hidden: int,
-                 num_heads: int, mlp_gelu: bool, precision):
+                 num_heads: int, mlp_gelu: bool, precision,
+                 have_droppath: bool = False):
     depth = c // num_heads
     scale = 1.0 / float(depth) ** 0.5
 
@@ -82,7 +83,10 @@ def _make_kernel(num_blocks: int, p_tokens: int, c: int, hidden: int,
                ln1_g_ref, ln1_b_ref, wq_ref, bq_ref, wk_ref, bk_ref,
                wv_ref, bv_ref, wp_ref, bp_ref, ln2_g_ref, ln2_b_ref,
                w1_ref, b1_ref, w2_ref, b2_ref, norm_g_ref, norm_b_ref,
-               o_ref):
+               *rest):
+        # rest = (dp_ref, o_ref) with stochastic-depth scales, else (o_ref,)
+        dp_ref = rest[0] if have_droppath else None
+        o_ref = rest[-1]
         # Embedding: (P, 2, bt) → (P, C, bt), then + PE
         emb_w_t = emb_w_ref[:].T  # (C, 2)
         emb_b = emb_b_ref[:].reshape(c, 1)
@@ -123,6 +127,9 @@ def _make_kernel(num_blocks: int, p_tokens: int, c: int, hidden: int,
 
             proj = _dense_per_joint(ctx, wp_ref[blk].T, bp_ref[blk].reshape(c, 1),
                                     p_tokens, precision)
+            if dp_ref is not None:
+                # per-frame stochastic-depth scale (0 or 1/keep_prob)
+                proj = proj * dp_ref[2 * blk, :][None, None, :]
             x = x + proj
 
             g2 = ln2_g_ref[blk].reshape(c, 1)
@@ -136,6 +143,8 @@ def _make_kernel(num_blocks: int, p_tokens: int, c: int, hidden: int,
                 h1 = jnp.maximum(h1, 0.0)
             z = _dense_per_joint(h1, w2_ref[blk].T, b2_ref[blk].reshape(c, 1),
                                  p_tokens, precision)
+            if dp_ref is not None:
+                z = z * dp_ref[2 * blk + 1, :][None, None, :]
             x = x + z
 
         # Final spatial_norm (eps 1e-6)
@@ -172,7 +181,8 @@ def stack_spatial_params(params: Dict, num_blocks: int):
 def fused_spatial_stack(x_t: jax.Array, stacked: Dict, *, num_blocks: int,
                         num_heads: int, mlp_gelu: bool = True,
                         block_f: int = 128,
-                        precision=jax.lax.Precision.HIGHEST) -> jax.Array:
+                        precision=jax.lax.Precision.HIGHEST,
+                        droppath_scales=None) -> jax.Array:
     """x_t: (P, 2, F) transposed input → (P, C, F) spatial-stack output."""
     p_tokens, c_in, f = x_t.shape
     c = stacked["emb_w"].shape[1]
@@ -181,7 +191,7 @@ def fused_spatial_stack(x_t: jax.Array, stacked: Dict, *, num_blocks: int,
     assert block_f % 128 == 0 and f % block_f == 0, (f, block_f)
 
     kernel = _make_kernel(num_blocks, p_tokens, c, hidden, num_heads, mlp_gelu,
-                          precision)
+                          precision, have_droppath=droppath_scales is not None)
 
     def full(shape):
         nd = len(shape)
@@ -193,6 +203,12 @@ def fused_spatial_stack(x_t: jax.Array, stacked: Dict, *, num_blocks: int,
     in_specs = [pl.BlockSpec((p_tokens, c_in, block_f), lambda i: (0, 0, i),
                              memory_space=pltpu.VMEM)]
     in_specs += [full(stacked[name].shape) for name in param_order]
+    args = [x_t] + [stacked[name] for name in param_order]
+    if droppath_scales is not None:
+        assert droppath_scales.shape == (2 * num_blocks, f)
+        in_specs.append(pl.BlockSpec((2 * num_blocks, block_f), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM))
+        args.append(droppath_scales.astype(jnp.float32))
 
     return pl.pallas_call(
         kernel,
@@ -201,7 +217,7 @@ def fused_spatial_stack(x_t: jax.Array, stacked: Dict, *, num_blocks: int,
         out_specs=pl.BlockSpec((p_tokens, c, block_f), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((p_tokens, c, f), jnp.float32),
-    )(x_t, *[stacked[name] for name in param_order])
+    )(*args)
 
 
 def spatial_stack_apply(params: Dict, x2d: jax.Array, *, num_blocks: int,
@@ -228,3 +244,118 @@ def spatial_stack_apply(params: Dict, x2d: jax.Array, *, num_blocks: int,
                             precision=precision)  # (P, C, F_pad)
     c = y.shape[1]
     return y[:, :, :f].transpose(2, 0, 1).reshape(b, n, p * c)
+
+
+# ---------------------------------------------------------------------------
+# Training path: fused forward with a custom VJP whose backward runs through
+# an XLA-equivalent function (rematerializing forward). Stochastic depth is
+# supplied as precomputed per-frame scales so forward and backward agree.
+# ---------------------------------------------------------------------------
+
+def _xla_spatial_stack(stacked: Dict, x_t: jax.Array, droppath_scales,
+                       num_heads: int):
+    """jnp reference of the kernel math, (P, 2, F) → (P, C, F).
+
+    Internally uses the standard frames-major layout with split-head
+    attention — the fast XLA form — since this runs (and is differentiated)
+    inside the custom-VJP backward.
+    """
+    p_tokens, c_in, f = x_t.shape
+    c = stacked["emb_w"].shape[1]
+    num_blocks = stacked["wq"].shape[0]
+    depth = c // num_heads
+
+    def ln(x, g, b, eps):  # x: (F, P, C), normalize over C
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+        return (x - mu) / jnp.sqrt(var + eps) * g + b
+
+    x = x_t.astype(jnp.float32).transpose(2, 0, 1)  # (F, P, 2)
+    x = x @ stacked["emb_w"] + stacked["emb_b"]
+    x = x + stacked["pe"][None]
+    for blk in range(num_blocks):
+        y = ln(x, stacked["ln1_g"][blk], stacked["ln1_b"][blk], 1e-5)
+        split = lambda t: t.reshape(f, p_tokens, num_heads, depth).transpose(0, 2, 1, 3)
+        q = split(y @ stacked["wq"][blk] + stacked["bq"][blk])
+        k = split(y @ stacked["wk"][blk] + stacked["bk"][blk])
+        v = split(y @ stacked["wv"][blk] + stacked["bv"][blk])
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        logits = logits / np.float32(np.sqrt(depth))
+        w = jax.nn.softmax(logits, axis=-1)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", w, v,
+                         preferred_element_type=jnp.float32)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(f, p_tokens, c)
+        proj = ctx @ stacked["wp"][blk] + stacked["bp"][blk]
+        if droppath_scales is not None:
+            proj = proj * droppath_scales[2 * blk][:, None, None]
+        x = x + proj
+        z = ln(x, stacked["ln2_g"][blk], stacked["ln2_b"][blk], 1e-5)
+        z = z @ stacked["w1"][blk] + stacked["b1"][blk]
+        z = 0.5 * z * (1.0 + jax.lax.erf(z * np.float32(1.0 / np.sqrt(2.0))))
+        z = z @ stacked["w2"][blk] + stacked["b2"][blk]
+        if droppath_scales is not None:
+            z = z * droppath_scales[2 * blk + 1][:, None, None]
+        x = x + z
+    x = ln(x, stacked["norm_g"], stacked["norm_b"], 1e-6)
+    return x.transpose(1, 2, 0)  # (P, C, F)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_spatial_train(stacked: Dict, x_t: jax.Array, droppath_scales,
+                        num_blocks: int, num_heads: int):
+    """Fused Pallas forward; XLA backward (forward rematerialized).
+
+    stacked: stack_spatial_params output; x_t: (P, 2, F);
+    droppath_scales: (2*num_blocks, F) stochastic-depth scales (0 or
+    1/keep_prob per frame per residual branch), or ones at eval.
+    """
+    return fused_spatial_stack(x_t, stacked, num_blocks=num_blocks,
+                               num_heads=num_heads,
+                               precision=jax.lax.Precision.HIGHEST,
+                               droppath_scales=droppath_scales)
+
+
+def _fst_fwd(stacked, x_t, droppath_scales, num_blocks, num_heads):
+    out = fused_spatial_train(stacked, x_t, droppath_scales, num_blocks, num_heads)
+    return out, (stacked, x_t, droppath_scales)
+
+
+def _fst_bwd(num_blocks, num_heads, residuals, g):
+    stacked, x_t, droppath_scales = residuals
+
+    def ref(stacked, x_t, dps):
+        return _xla_spatial_stack(stacked, x_t, dps, num_heads)
+
+    if droppath_scales is None:
+        _, vjp_fn = jax.vjp(lambda s, x: ref(s, x, None), stacked, x_t)
+        ds, dx = vjp_fn(g)
+        return ds, dx, None
+    _, vjp_fn = jax.vjp(ref, stacked, x_t, droppath_scales)
+    ds, dx, ddp = vjp_fn(g)
+    return ds, dx, ddp
+
+
+fused_spatial_train.defvjp(_fst_fwd, _fst_bwd)
+
+
+def make_droppath_scales(rng, rates, num_frames, batch_frames_first=True):
+    """(2*num_blocks, F) stochastic-depth scales from per-block rates.
+
+    rates: per-block drop probabilities (linspace 0..top like the model);
+    each residual branch draws an independent per-frame keep mask scaled by
+    1/keep_prob (reference drop_path semantics, vision_transformer.py:16-28).
+    """
+    num_blocks = len(rates)
+    rows = []
+    for blk in range(num_blocks):
+        rate = float(rates[blk])
+        for branch in range(2):
+            key = jax.random.fold_in(rng, blk * 2 + branch)
+            if rate == 0.0:
+                rows.append(jnp.ones((num_frames,), jnp.float32))
+            else:
+                keep = 1.0 - rate
+                mask = jnp.floor(keep + jax.random.uniform(key, (num_frames,)))
+                rows.append(mask / keep)
+    return jnp.stack(rows, axis=0)

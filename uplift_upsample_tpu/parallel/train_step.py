@@ -99,6 +99,47 @@ def make_loss_fn(model, config: UpliftUpsampleConfig, dataset_name: str = "h36m"
     mid = config.SEQUENCE_LENGTH // 2
     b, n, k = config.BATCH_SIZE, config.SEQUENCE_LENGTH, config.NUM_KEYPOINTS
 
+    # Fused Pallas spatial forward with custom VJP (XLA backward). Requires
+    # no spatial-stage dropout (shipped configs have DROP_RATE=0); stochastic
+    # depth is handled via precomputed per-frame scales.
+    fused_spatial = (bool(getattr(config, "TRAIN_FUSED_SPATIAL", False))
+                     and model.spatial_depth > 0 and config.DROP_RATE == 0
+                     and config.TOKEN_MASK_RATE == 0)
+    tail = model.clone(spatial_input=True) if fused_spatial else None
+    if fused_spatial:
+        dpr_top = (config.DROP_PATH_RATE[0]
+                   if isinstance(config.DROP_PATH_RATE, (list, tuple))
+                   else config.DROP_PATH_RATE)
+        depth = model.spatial_depth
+        dp_rates = [0.0] * depth if depth <= 1 else \
+            [dpr_top * i / (depth - 1) for i in range(depth)]
+
+    def apply_model(params, x, stride_mask, rngs):
+        if fused_spatial:
+            from ..ops.pallas_spatial import (fused_spatial_train,
+                                              make_droppath_scales,
+                                              stack_spatial_params)
+            bb, nn_, pp, cc = x.shape
+            frames = bb * nn_
+            x_t = x.reshape(frames, pp, cc).transpose(1, 2, 0)
+            pad = (-frames) % 128
+            if pad:
+                x_t = jnp.pad(x_t, ((0, 0), (0, 0), (0, pad)))
+            scales = make_droppath_scales(rngs["droppath"], dp_rates, frames + pad)
+            stacked = stack_spatial_params(params, model.spatial_depth)
+            y = fused_spatial_train(stacked, x_t, scales, model.spatial_depth,
+                                    model.num_heads)
+            sp = y[:, :, :frames].transpose(2, 0, 1).reshape(
+                bb, nn_, pp * model.spatial_d_model)
+            if model.has_strided_input:
+                return tail.apply({"params": params}, sp, stride_mask=stride_mask,
+                                  training=True, rngs=rngs)
+            return tail.apply({"params": params}, sp, training=True, rngs=rngs)
+        if model.has_strided_input:
+            return model.apply({"params": params}, x, stride_mask=stride_mask,
+                               training=True, rngs=rngs)
+        return model.apply({"params": params}, x, training=True, rngs=rngs)
+
     def loss_fn(params, batch, rngs):
         keypoints2d, keypoints3d, stride_mask = _prepare_batch(batch, config, dataset_name)
         keypoints3d = keypoints3d - keypoints3d[:, :, root:root + 1, :]
@@ -107,11 +148,7 @@ def make_loss_fn(model, config: UpliftUpsampleConfig, dataset_name: str = "h36m"
         x = keypoints2d
         if model.has_strided_input:
             x = x * stride_mask[:, :, None, None].astype(x.dtype)
-            pred_seq, pred_central = model.apply(
-                {"params": params}, x, stride_mask=stride_mask, training=True, rngs=rngs)
-        else:
-            pred_seq, pred_central = model.apply(
-                {"params": params}, x, training=True, rngs=rngs)
+        pred_seq, pred_central = apply_model(params, x, stride_mask, rngs)
 
         central_loss = jnp.sum(jnp.linalg.norm(
             central_gt - pred_central.astype(jnp.float32), axis=-1)) / (b * k)
