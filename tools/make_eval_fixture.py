@@ -54,7 +54,6 @@ EVAL_CONFIG = {
 
 
 def patch_keras():
-    import tf_keras
     from tf_keras.src.engine.base_layer import Layer
     orig = Layer.__init__
 

@@ -12,7 +12,7 @@ remain the reference implementation and the fallback.
 
 from __future__ import annotations
 
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 

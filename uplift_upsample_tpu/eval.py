@@ -27,7 +27,7 @@ from .data import h36m_splits
 from .data.fast_batcher import FastH36mBatcher
 from .data.generator import H36mSequenceGenerator
 from .data.loading import filter_and_subsample_dataset, load_dataset_and_2d_poses
-from .models import build_uplift_upsample_transformer, init_model_params
+from .models import build_uplift_upsample_transformer
 from .utils.eval_protocol import compute_and_log_metrics, interpolate_between_keyframes
 from .utils.time_format import format_time
 from .utils.weights_h5 import load_keras_h5

@@ -19,7 +19,7 @@ recurrence seq_len ← ceil((seq_len + p0 + p1 - 2) / stride).
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -28,10 +28,8 @@ from flax import linen as nn
 from .primitives import (
     KERNEL_INIT,
     PE_INIT,
-    DropPath,  # noqa: F401  (re-export for users)
     StridedTransformerBlock,
     TransformerBlock,
-    resolve_padding,
 )
 
 

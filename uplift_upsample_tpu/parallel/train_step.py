@@ -18,8 +18,7 @@ over ICI.
 from __future__ import annotations
 
 import copy
-from functools import partial
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
