@@ -152,12 +152,13 @@ def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d
         for batch in itertools.islice(fast.batches(), num_batches):
             seq3d, seq2d, seq_mask, cams, subjects, actions, indices, stride_masks = batch
             _, pred = test_step(jnp.asarray(seq2d), jnp.asarray(stride_masks))
-            pred = np.asarray(jax.device_get(pred))
 
             include = min(config.BATCH_SIZE, num_examples - examples)
             seq3d = seq3d - seq3d[:, :, root:root + 1, :]
             gt_central.extend(seq3d[:include, mid_index])
-            pred_central.extend(pred[:include])
+            # Keep predictions on device; fetching here would sync every batch
+            # (expensive through relay-tunneled PJRT). One transfer at the end.
+            pred_central.append(pred[:include])
             gt_subjects.extend(subjects[:include])
             gt_actions.extend(actions[:include])
             gt_indices.extend(indices[:include])
@@ -166,7 +167,8 @@ def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d
     gt_central = np.stack(gt_central, axis=0).astype(np.float64)
     gt_central = np.concatenate(
         [gt_central, np.ones(gt_central.shape[:-1] + (1,))], axis=-1)
-    pred_central = np.stack(pred_central, axis=0).astype(np.float64)
+    pred_central = np.concatenate(
+        [np.asarray(jax.device_get(p)) for p in pred_central], axis=0).astype(np.float64)
     gt_actions = np.stack(gt_actions, axis=0)
     gt_indices = np.stack(gt_indices, axis=0)
 

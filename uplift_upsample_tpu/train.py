@@ -249,10 +249,13 @@ def train_and_validate(config: UpliftUpsampleConfig, out_dir, dataset_name="h36m
         epoch_start = time.time()
         log(f"## EPOCH {epoch} / {config.EPOCHS}")
         loss_sum, loss_count = 0.0, 0
+        # Fetching the loss syncs the device pipeline — costly through
+        # relay-tunneled PJRT — so log sparsely (reference logs every 10)
+        log_every = max(10, config.STEPS_PER_EPOCH // 60)
         for iteration in range(config.STEPS_PER_EPOCH):
             batch = to_device(next(train_iter))
             state, loss = train_step(state, batch)
-            if iteration % 10 == 0:
+            if iteration % log_every == 0:
                 loss_val = float(loss)
                 loss_sum += loss_val
                 loss_count += 1
@@ -290,19 +293,23 @@ def train_and_validate(config: UpliftUpsampleConfig, out_dir, dataset_name="h36m
             for batch in itertools.islice(val_batcher.batches(), n_val_batches):
                 subjects, actions = batch[-4], batch[-3]
                 pred_central, central_gt, loss = val_step(val_params, to_device(batch))
-                loss_vals.append(float(loss))
+                # Keep device arrays; fetch once after the loop (per-batch
+                # device_get syncs the pipeline on relay-tunneled PJRT)
                 include = min(config.BATCH_SIZE, config.VALIDATION_EXAMPLES - examples)
-                gt_list.extend(np.asarray(central_gt)[:include])
-                pred_list.extend(np.asarray(pred_central)[:include])
+                loss_vals.append(loss)
+                gt_list.append((central_gt, include))
+                pred_list.append((pred_central, include))
                 subj_list.extend(subjects[:include])
                 act_list.extend(actions[:include])
                 examples += include
 
-            gt = np.stack(gt_list).astype(np.float64)
+            gt = np.concatenate([np.asarray(jax.device_get(a))[:inc]
+                                 for a, inc in gt_list]).astype(np.float64)
             gt = np.concatenate([gt, np.ones(gt.shape[:-1] + (1,))], axis=-1)
-            pred = np.stack(pred_list).astype(np.float64)
+            pred = np.concatenate([np.asarray(jax.device_get(a))[:inc]
+                                   for a, inc in pred_list]).astype(np.float64)
             actions_arr = np.stack(act_list)
-            val_loss = float(np.mean(loss_vals))
+            val_loss = float(np.mean([float(l) for l in loss_vals]))
 
             if val_dataset_name == "h36m":
                 frame_results, aw_results, _ = eval_protocol.h36_action_wise_eval(
