@@ -1,0 +1,84 @@
+"""Small utility behaviors: txt config mode, weight-prefix resolution, EMA math."""
+
+import os
+
+import numpy as np
+
+from uplift_upsample_tpu.config import UpliftUpsampleConfig
+
+
+def test_config_txt_mode(tmp_path):
+    path = tmp_path / "cfg.txt"
+    path.write_text(
+        "# comment line\n"
+        "BATCH_SIZE 128\n"
+        "MASK_STRIDE [5, 10]\n"
+        "PADDING_TYPE \"zeros\"\n"
+        "\n")
+    cfg = UpliftUpsampleConfig(config_file=str(path))
+    assert cfg.BATCH_SIZE == 128
+    assert cfg.MASK_STRIDE == [5, 10]
+    assert cfg.PADDING_TYPE == "zeros"
+
+
+def test_resolve_weight_selector(tmp_path):
+    from uplift_upsample_tpu.train import resolve_weight_selector
+
+    (tmp_path / "best_weights_0007.h5").write_bytes(b"x")
+    (tmp_path / "best_weights_0012.h5").write_bytes(b"x")
+    (tmp_path / "other.h5").write_bytes(b"x")
+    # Prefix resolves to the first sorted match
+    resolved = resolve_weight_selector(str(tmp_path / "best_weights"))
+    assert resolved.endswith("best_weights_0007.h5")
+    # Full paths pass through
+    full = str(tmp_path / "other.h5")
+    assert resolve_weight_selector(full) == full
+    assert resolve_weight_selector(None) is None
+
+
+def test_ema_update_semantics():
+    """EMA: ema ← ema − (1−d)(ema − w), d = min(cap, (1+g)/(10+g))."""
+    import jax
+    import jax.numpy as jnp
+    from uplift_upsample_tpu.config import UpliftUpsampleConfig
+    from uplift_upsample_tpu.models import build_uplift_upsample_transformer, init_model_params
+    from uplift_upsample_tpu.parallel import TrainState, make_optimizer, make_train_step
+
+    config = UpliftUpsampleConfig()
+    config.update_from({
+        "SEQUENCE_LENGTH": 9, "SEQUENCE_STRIDE": 5, "SPATIAL_EMBED_DIM": 16,
+        "TEMPORAL_EMBED_DIM": 32, "SPATIAL_TRANSFORMER_BLOCKS": 1,
+        "TEMPORAL_TRANSFORMER_BLOCKS": 1, "STRIDES": [3, 3],
+        "PADDINGS": [[0, 0], [0, 0]], "NUM_HEADS": 4, "MASK_STRIDE": [5],
+        "BATCH_SIZE": 4, "DROP_PATH_RATE": 0.0, "DROP_RATE": 0.0,
+        "EMA_ENABLED": True, "EMA_DECAY": 0.999,
+        "OPTIMIZER": "Adam", "OPTIMIZER_PARAMS": {"amsgrad": True, "epsilon": 1e-8},
+        "SCHEDULE": "ExponentialDecay",
+        "SCHEDULE_PARAMS": {"initial_learning_rate": 1e-3, "decay_steps": 100,
+                            "decay_rate": 0.9, "staircase": True},
+    })
+    model = build_uplift_upsample_transformer(config)
+    params = init_model_params(model, seed=0)["params"]
+    tx, _, _ = make_optimizer(config)
+    state = TrainState(params=jax.tree.map(jnp.copy, params), opt_state=tx.init(params),
+                       ema_params=jax.tree.map(jnp.copy, params),
+                       step=jnp.zeros([], jnp.int32))
+    step = make_train_step(model, tx, config)
+
+    rng = np.random.default_rng(0)
+    b, n, k = 4, 9, 17
+    batch = (rng.normal(size=(b, n, k, 3)).astype(np.float32) * 0.1,
+             rng.normal(size=(b, n, k, 2)).astype(np.float32) * 0.1,
+             np.ones((b, n), np.float32), np.zeros((b, 11), np.float32),
+             np.zeros((b,), np.int32), np.zeros((b,), np.int32),
+             np.zeros((b,), np.int32), np.ones((b, n), bool))
+
+    old_params = jax.tree.map(jnp.copy, state.params)
+    state, _ = step(state, batch)
+    # Step 0: d = min(0.999, 1/10) = 0.1 → ema = 0.1*old + 0.9*new
+    leaf_new = jax.tree.leaves(state.params)[0]
+    leaf_old = jax.tree.leaves(old_params)[0]
+    leaf_ema = jax.tree.leaves(state.ema_params)[0]
+    expected = 0.1 * leaf_old + 0.9 * leaf_new
+    np.testing.assert_allclose(np.asarray(leaf_ema), np.asarray(expected),
+                               atol=1e-7)
