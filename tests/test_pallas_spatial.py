@@ -45,10 +45,12 @@ def test_fused_spatial_stack_matches_model(fixture_case):
     full_ref, central_ref = model.apply(variables, x, stride_mask=sm, training=False)
 
     # Fused: pallas spatial stack + spatial_input model for the rest
+    import jax as _jax
     with pltpu.force_tpu_interpret_mode():
         sp = spatial_stack_apply(variables["params"], x,
                                  num_blocks=model.spatial_depth,
-                                 num_heads=model.num_heads, block_f=8)
+                                 num_heads=model.num_heads, block_f=8,
+                                 precision=_jax.lax.Precision.HIGHEST)
     tail = UpliftUpsampleTransformer(spatial_input=True, **_model_kwargs())
     full_f, central_f = tail.apply(variables, sp, stride_mask=sm, training=False)
 

@@ -39,7 +39,7 @@ def log(*args):
 
 
 def make_test_step(model, variables, flip_tta: bool, flip_lr_indices,
-                   fused_spatial: bool = False):
+                   fused_spatial: bool = False, strict_precision: bool = False):
     """Jitted forward step with optional fused flip-TTA.
 
     `fused_spatial` routes the spatial stage through the fused Pallas kernel
@@ -51,8 +51,10 @@ def make_test_step(model, variables, flip_tta: bool, flip_lr_indices,
     flip_idx = jnp.asarray(np.asarray(flip_lr_indices, dtype=np.int32))
 
     if fused_spatial and model.spatial_depth > 0:
-        from .ops.pallas_spatial import spatial_stack_apply
+        from .ops.pallas_spatial import HIGH3, spatial_stack_apply
         tail = model.clone(spatial_input=True)
+        kernel_precision = (jax.lax.Precision.HIGHEST
+                            if strict_precision else HIGH3)
 
         def forward(keypoints2d, stride_mask):
             x = keypoints2d
@@ -60,7 +62,8 @@ def make_test_step(model, variables, flip_tta: bool, flip_lr_indices,
                 x = x * stride_mask[:, :, None, None].astype(x.dtype)
             sp = spatial_stack_apply(variables["params"], x,
                                      num_blocks=model.spatial_depth,
-                                     num_heads=model.num_heads)
+                                     num_heads=model.num_heads,
+                                     precision=kernel_precision)
             if model.has_strided_input:
                 return tail.apply(variables, sp, stride_mask=stride_mask, training=False)
             return tail.apply(variables, sp, training=False)
@@ -132,7 +135,9 @@ def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d
     test_step = make_test_step(
         model, variables, flip_tta=config.EVAL_FLIP,
         flip_lr_indices=config.AUGM_FLIP_KEYPOINT_ORDER,
-        fused_spatial=bool(getattr(config, "USE_PALLAS_SPATIAL", False)))
+        fused_spatial=bool(getattr(config, "USE_PALLAS_SPATIAL", False)),
+        strict_precision=(getattr(config, "EVAL_MATMUL_PRECISION", "default")
+                          == "highest"))
 
     log(f"Running evaluation on '{test_subset}' with {num_examples} examples")
     start = time.time()

@@ -55,20 +55,43 @@ def _layer_norm(x, gamma, beta, eps):
     return (x - mu) / jnp.sqrt(var + eps) * gamma + beta
 
 
+HIGH3 = "high3"  # manual bf16x3 (Precision.HIGH equivalent; Mosaic lacks HIGH)
+
+
 def _dense_per_joint(x, w_t, bias, p_tokens, precision):
     """x: (P, C_in, bt) → (P, C_out, bt) via per-joint MXU dots.
 
     w_t: (C_out, C_in) transposed kernel; bias: (C_out, 1) or None.
-    Raised precision: Mosaic's default lowers f32 dots to 1-pass bf16,
-    which drifts ~1e-1 through the 4-block stack (random weights); HIGHEST
-    matches CPU f32 to ~6e-6. Mosaic supports only DEFAULT and HIGHEST
-    (the kernel is ~11.8 vs ~19.1 ms/batch-1024 respectively).
+    Precision: Mosaic's DEFAULT lowers f32 dots to 1-pass bf16, which drifts
+    ~1e-1 through the 4-block stack (random weights); HIGHEST matches CPU f32
+    to ~6e-6 but costs ~2x. HIGH3 implements the bf16x3 split manually
+    (hi/lo decomposition, three DEFAULT passes): ~1e-6 accuracy at ~half the
+    HIGHEST dot cost.
     """
+    if precision == HIGH3:
+        w_hi = w_t.astype(jnp.bfloat16).astype(jnp.float32)
+        w_lo = w_t - w_hi
+
+        def dot(xp):
+            x_hi = xp.astype(jnp.bfloat16).astype(jnp.float32)
+            x_lo = xp - x_hi
+            dims = (((1,), (0,)), ((), ()))
+            y = jax.lax.dot_general(w_hi, x_hi, dims,
+                                    preferred_element_type=jnp.float32)
+            y += jax.lax.dot_general(w_hi, x_lo, dims,
+                                     preferred_element_type=jnp.float32)
+            y += jax.lax.dot_general(w_lo, x_hi, dims,
+                                     preferred_element_type=jnp.float32)
+            return y
+    else:
+        def dot(xp):
+            return jax.lax.dot_general(w_t, xp, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32,
+                                       precision=precision)
+
     rows = []
     for p in range(p_tokens):
-        y = jax.lax.dot_general(w_t, x[p], (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=precision)
+        y = dot(x[p])
         rows.append(y if bias is None else y + bias)
     return jnp.stack(rows, axis=0)
 
@@ -222,7 +245,7 @@ def fused_spatial_stack(x_t: jax.Array, stacked: Dict, *, num_blocks: int,
 
 def spatial_stack_apply(params: Dict, x2d: jax.Array, *, num_blocks: int,
                         num_heads: int, block_f: int = 128,
-                        precision=jax.lax.Precision.HIGHEST) -> jax.Array:
+                        precision=HIGH3) -> jax.Array:
     """(B, N, P, 2) masked keypoints → (B, N, P·C) spatial output.
 
     Drop-in replacement for the model's spatial_transformation +
