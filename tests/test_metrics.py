@@ -90,3 +90,31 @@ def test_interpolation_linear_weights():
     interp, _ = interpolate_between_keyframes(pred, indices, 5)
     # position 1 (non-keyframe) between keyframes at 0 and 2: w = (1-0)/(2-0)
     assert np.allclose(interp[1], 5.0)
+
+
+def test_action_wise_eval_skips_absent_actions():
+    """Absent actions must not NaN-propagate into the cross-action mean."""
+    from uplift_upsample_tpu.utils.eval_protocol import h36_action_wise_eval
+
+    rng = np.random.default_rng(0)
+    pred = rng.normal(size=(20, 17, 3))
+    gt = np.concatenate([pred + 0.001 * rng.normal(size=pred.shape),
+                         np.ones((20, 17, 1))], axis=-1)  # xyz + valid flag
+    actions = np.array([0] * 10 + [3] * 10)  # only 2 of 15 actions present
+    frame_results, average_results, per_action = h36_action_wise_eval(
+        pred_3d=pred, gt_3d=gt, actions=actions, root_index=0)
+    assert len(per_action) == 2
+    for name, value in average_results.items():
+        assert np.isfinite(value), (name, value)
+    assert np.isfinite(frame_results["mpjpe"])
+
+
+def test_interpolation_leading_nonkeyframe_keeps_raw():
+    """A sequence that starts off-keyframe keeps its raw predictions."""
+    from uplift_upsample_tpu.utils.eval_protocol import interpolate_between_keyframes
+
+    pred = np.arange(4, dtype=np.float64)[:, None, None] * np.ones((1, 1, 3))
+    indices = np.array([3, 5, 7, 10])
+    interp, keyframes = interpolate_between_keyframes(pred, indices, 5)
+    assert not keyframes[0]
+    assert np.allclose(interp[0], pred[0])

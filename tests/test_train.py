@@ -11,8 +11,10 @@ import jax.numpy as jnp
 
 from uplift_upsample_tpu.config import UpliftUpsampleConfig
 from uplift_upsample_tpu.parallel import TrainState, make_optimizer, make_train_step
-from uplift_upsample_tpu.utils.schedules import (exponential_decay,
-                                                 exponential_decay_with_steps)
+from uplift_upsample_tpu.utils.schedules import (cosine_decay_restarts,
+                                                 exponential_decay,
+                                                 exponential_decay_with_steps,
+                                                 piecewise_constant_decay)
 
 FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures")
 SYNTH_DIR = os.path.join(FIXTURE_DIR, "synth")
@@ -35,6 +37,40 @@ def test_exponential_decay_with_steps():
     assert np.isclose(float(sched(12000)), 1e-3 * 0.95)
     assert np.isclose(float(sched(60000)), 1e-3 * 0.95 ** (5 - 1) * 0.5, rtol=1e-5)
     assert np.isclose(float(sched(72000)), 1e-3 * 0.95 ** (6 - 1) * 0.5, rtol=1e-5)
+
+
+def test_piecewise_constant_decay_keras_semantics():
+    """Goldens from tf.keras PiecewiseConstantDecay: values[i] holds for
+    boundaries[i-1] < step <= boundaries[i] (boundary step keeps the old value)."""
+    sched = piecewise_constant_decay(boundaries=[100, 110], values=[1.0, 0.5, 0.1])
+    golden = [(0, 1.0), (99, 1.0), (100, 1.0), (101, 0.5), (110, 0.5),
+              (111, 0.1), (500, 0.1)]
+    for step, expected in golden:
+        assert np.isclose(float(sched(step)), expected), (step, float(sched(step)))
+
+
+def test_cosine_decay_restarts_keras_semantics():
+    """Goldens from tf.keras CosineDecayRestarts (t_mul=2, m_mul=.5, alpha=.1)."""
+    sched = cosine_decay_restarts(1.0, first_decay_steps=10, t_mul=2.0,
+                                  m_mul=0.5, alpha=0.1)
+    golden = [(0, 1.0), (3, 0.8145033717), (5, 0.5499999523), (10, 0.5500000119),
+              (13, 0.5254764557), (20, 0.3249999881), (30, 0.3249999881),
+              (37, 0.3084219992), (70, 0.212500006), (100, 0.1777759492)]
+    for step, expected in golden:
+        assert np.isclose(float(sched(step)), expected, rtol=1e-5), (
+            step, float(sched(step)))
+
+
+def test_cosine_decay_restarts_tmul1():
+    """t_mul=1 path (plain periodic restarts); goldens from tf.keras."""
+    sched = cosine_decay_restarts(4e-5, first_decay_steps=6000, t_mul=1.0,
+                                  m_mul=1.0, alpha=0.0)
+    golden = [(0, 4e-5), (2999, 2.0010471416753717e-05), (3000, 2e-5),
+              (5999, 2.384185730786026e-12), (6000, 4e-5), (9000, 2e-5),
+              (12345, 3.967457087128423e-05)]
+    for step, expected in golden:
+        assert np.isclose(float(sched(step)), expected, rtol=1e-4, atol=1e-9), (
+            step, float(sched(step)))
 
 
 def test_adamw_decoupled_wd_semantics():

@@ -1,0 +1,182 @@
+"""Round-2 stage profiling on the real chip (slope-method timing).
+
+Usage: python tools/profile_r2.py VARIANT [--batch 2048]
+
+Variants:
+  full_f32        fused-spatial(DEFAULT) + f32 XLA tail   (bench default)
+  full_bf16tail   fused-spatial(DEFAULT) + bf16 XLA tail
+  spatial_default fused spatial kernel alone, DEFAULT dots
+  spatial_high3   fused spatial kernel alone, HIGH3 dots
+  tail_f32        tail alone (s2t dense + temporal + heads + strided), f32
+  tail_bf16       tail alone, bf16 compute
+  temporal4_f32   4 temporal blocks alone on (B, 71, 384), f32
+  temporal4_bf16  same, bf16 compute
+  strided_f32     strided stack + central head alone, f32
+  strided_bf16    same, bf16
+  temporal4_pallas existing fused temporal block x4 (calibration)
+
+Prints: variant, ms per invocation, windows/s.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_comp_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from uplift_upsample_tpu.config import UpliftUpsampleConfig  # noqa: E402
+from uplift_upsample_tpu.models import (build_uplift_upsample_transformer,  # noqa: E402
+                                        init_model_params)
+from uplift_upsample_tpu.utils.profiling import device_timer  # noqa: E402
+
+BENCH_KEYS = {
+    "SEQUENCE_LENGTH": 71, "SEQUENCE_STRIDE": 5, "SPATIAL_EMBED_DIM": 32,
+    "TEMPORAL_EMBED_DIM": 384, "SPATIAL_TRANSFORMER_BLOCKS": 4,
+    "TEMPORAL_TRANSFORMER_BLOCKS": 4, "STRIDES": [3, 10, 3],
+    "PADDINGS": [[0, 0], [0, 0], [0, 0]], "NUM_HEADS": 8,
+    "MASK_STRIDE": [5, 10, 20], "FIRST_STRIDED_TOKEN_ATTENTION_LAYER": 1,
+    "DROP_PATH_RATE": [0.1, 0.1, 0.0],
+}
+
+
+def build(dtype="float32"):
+    config = UpliftUpsampleConfig()
+    config.update_from(dict(BENCH_KEYS, COMPUTE_DTYPE=dtype))
+    model = build_uplift_upsample_transformer(config)
+    variables = init_model_params(model, seed=0)
+    return model, variables
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("variant")
+    ap.add_argument("--batch", type=int, default=2048)
+    args = ap.parse_args()
+    b = args.batch
+    v = args.variant
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(b, 71, 17, 2)).astype(np.float32) * 0.3)
+    sm = jnp.asarray(np.ones((b, 71), dtype=bool))
+    sp_out = jnp.asarray(rng.normal(size=(b, 71, 544)).astype(np.float32) * 0.3)
+    t_in = jnp.asarray(rng.normal(size=(b, 71, 384)).astype(np.float32) * 0.3)
+
+    if v in ("full_f32", "full_bf16tail"):
+        model, variables = build("float32" if v == "full_f32" else "bfloat16")
+        tail = model.clone(spatial_input=True)
+        from uplift_upsample_tpu.ops.pallas_spatial import spatial_stack_apply
+
+        def fn(x, sm):
+            xm = x * sm[:, :, None, None].astype(x.dtype)
+            sp = spatial_stack_apply(variables["params"], xm,
+                                     num_blocks=4, num_heads=8,
+                                     precision=jax.lax.Precision.DEFAULT)
+            _, central = tail.apply(variables, sp, stride_mask=sm, training=False)
+            return central
+        sec = device_timer(fn, x, sm)
+    elif v.startswith("spatial_"):
+        _, variables = build()
+        from uplift_upsample_tpu.ops.pallas_spatial import HIGH3, spatial_stack_apply
+        prec = jax.lax.Precision.DEFAULT if v.endswith("default") else HIGH3
+
+        def fn(x):
+            return spatial_stack_apply(variables["params"], x, num_blocks=4,
+                                       num_heads=8, precision=prec)
+        sec = device_timer(fn, x)
+    elif v.startswith("tail_"):
+        model, variables = build("float32" if v == "tail_f32" else "bfloat16")
+        tail = model.clone(spatial_input=True)
+
+        def fn(sp):
+            _, central = tail.apply(variables, sp, stride_mask=sm, training=False)
+            return central
+        sec = device_timer(fn, sp_out)
+    elif v.startswith("temporal4_") and not v.endswith("pallas"):
+        dtype = "float32" if v.endswith("f32") else "bfloat16"
+        model, variables = build(dtype)
+
+        from flax import linen as nn
+        from uplift_upsample_tpu.models.primitives import TransformerBlock
+
+        class TemporalOnly(nn.Module):
+            dtype: jnp.dtype = jnp.float32
+
+            @nn.compact
+            def __call__(self, x):
+                for i in range(4):
+                    x, _ = TransformerBlock(
+                        dim=384, num_heads=8, mlp_ratio=2.0, qkv_bias=True,
+                        activation=nn.relu, dtype=self.dtype,
+                        name=f"temporal_block_{i + 1}")(x, deterministic=True)
+                return x
+
+        tm = TemporalOnly(dtype=jnp.dtype(dtype))
+        tparams = {k: variables["params"][k] for k in
+                   [f"temporal_block_{i + 1}" for i in range(4)]}
+
+        def fn(t):
+            return tm.apply({"params": tparams}, t)
+        sec = device_timer(fn, t_in)
+    elif v == "temporal4_pallas":
+        _, variables = build()
+        from uplift_upsample_tpu.ops.pallas_temporal import temporal_stack_apply
+
+        def fn(t):
+            return temporal_stack_apply(variables["params"], t, None,
+                                        num_blocks=4, num_heads=8)
+        sec = device_timer(fn, t_in)
+    elif v.startswith("strided_"):
+        dtype = "float32" if v.endswith("f32") else "bfloat16"
+        model, variables = build(dtype)
+        from flax import linen as nn
+        from uplift_upsample_tpu.models.primitives import StridedTransformerBlock
+        from uplift_upsample_tpu.models.uplift_upsample import strided_sequence_lengths
+
+        class StridedOnly(nn.Module):
+            dtype: jnp.dtype = jnp.float32
+
+            @nn.compact
+            def __call__(self, x):
+                seq_lengths = strided_sequence_lengths(71, [3, 10, 3],
+                                                       [[0, 0], [0, 0], [0, 0]])
+                for i, s in enumerate([3, 10, 3]):
+                    pe = self.param(f"strided_temporal_pe_{i + 1}",
+                                    nn.initializers.zeros,
+                                    (seq_lengths[i], 384))
+                    x, _ = StridedTransformerBlock(
+                        dim=384, num_heads=8, mlp_ratio=2.0, qkv_bias=True,
+                        activation=nn.relu, kernel_size=3, stride=s,
+                        padding=(0, 0), dtype=self.dtype,
+                        name=f"strided_temporal_block_{i + 1}",
+                    )(x, pos_encoding=pe.astype(self.dtype), deterministic=True)
+                x = nn.Dense(51, dtype=self.dtype, name="strided_temporal_fc")(x)
+                return x
+
+        sm_ = StridedOnly(dtype=jnp.dtype(dtype))
+        sparams = {k: variables["params"][k] for k in variables["params"]
+                   if k.startswith("strided_temporal")}
+
+        def fn(t):
+            return sm_.apply({"params": sparams}, t)
+        sec = device_timer(fn, t_in)
+    else:
+        raise SystemExit(f"unknown variant {v}")
+
+    print(json.dumps({"variant": v, "batch": b, "ms": round(sec * 1e3, 3),
+                      "windows_per_s": round(b / sec, 1)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -37,7 +37,7 @@ from .utils import eval_protocol
 from .utils.metric_history import MetricHistory
 from .utils.scalar_log import ScalarLogger
 from .utils.time_format import format_time
-from .utils.weights_h5 import load_keras_h5, save_keras_h5
+from .utils.weights_h5 import load_keras_h5_by_name, save_keras_h5
 
 
 def log(*args):
@@ -188,7 +188,14 @@ def train_and_validate(config: UpliftUpsampleConfig, out_dir, dataset_name="h36m
     params = variables["params"]
     if weights is not None:
         log(f"Loading weights from {weights}")
-        params = jax.tree.map(jnp.asarray, load_keras_h5(weights, model)["params"])
+        # Name-based partial loading (reference weight_io.py:76-263): layers
+        # absent from the file keep their initialization; extra file layers
+        # are ignored; both are reported. This is how AMASS-pretrained
+        # checkpoints warm-start variant configs.
+        loaded, report = load_keras_h5_by_name(weights, model,
+                                               template=variables)
+        report.log(print_fn=log)
+        params = jax.tree.map(jnp.asarray, loaded["params"])
 
     tx, lr_schedule, wd_schedule = make_optimizer(config)
     ema_params = jax.tree.map(jnp.copy, params) if config.EMA_ENABLED else None

@@ -42,6 +42,13 @@ def h36_action_wise_eval(pred_3d, gt_3d, actions, root_index):
     per_action_results = {}
     for a_i, action_name in enumerate(h36m_splits.renamed_actions):
         selector = np.where(actions == a_i)
+        if selector[0].size == 0:
+            # Real H36M always has all 15 actions; on small subsets an absent
+            # action would NaN-propagate into the cross-action mean — skip it
+            # (with a log) instead so subset runs stay trustworthy.
+            print(f'action-wise eval: no samples for "{action_name}", '
+                  f"skipping it in the average", file=sys.stderr)
+            continue
         per_action_results[action_name] = {
             name: _average(arr[selector]) for name, arr in zip(METRIC_NAMES, per_frame)
         }
@@ -79,7 +86,10 @@ def interpolate_between_keyframes(pred3d, frame_indices, keyframe_stride):
                     w_right = (k - last_keyframe) / (i - last_keyframe)
                     interp3d[k] = pred3d[last_keyframe] * (1.0 - w_right) + pred3d[i] * w_right
             last_keyframe = i
-        else:
+        elif last_keyframe is not None:
+            # A sequence normally starts on a keyframe (globally aligned stride
+            # masks); if it doesn't, keep the raw prediction rather than crash
+            # (the reference would fault here, action_wise_eval.py:99).
             interp3d[i] = pred3d[last_keyframe]
     return interp3d, keyframes
 

@@ -28,7 +28,8 @@ pointwise-conv kernel into a Dense kernel).
 
 from __future__ import annotations
 
-from typing import Dict, List
+import dataclasses
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -76,80 +77,259 @@ def _block_params(h5_group, strided: bool) -> Dict[str, Dict]:
     }
 
 
+@dataclasses.dataclass
+class WeightLoadReport:
+    """Name-based loading diagnostics (reference `weight_io.py:240-263`).
+
+    `unconsumed_*`: present in the .h5 file but not loaded into the model;
+    `unassigned_*`: expected by the model but not found in the file;
+    `mismatched`: (flax path, file shape, model shape) skipped shape clashes.
+    """
+
+    assigned: List[str] = dataclasses.field(default_factory=list)
+    unconsumed_layers: List[str] = dataclasses.field(default_factory=list)
+    unassigned_layers: List[str] = dataclasses.field(default_factory=list)
+    unconsumed_weights: List[Tuple[str, tuple]] = dataclasses.field(default_factory=list)
+    unassigned_weights: List[Tuple[str, tuple]] = dataclasses.field(default_factory=list)
+    mismatched: List[Tuple[str, tuple, tuple]] = dataclasses.field(default_factory=list)
+
+    @property
+    def fully_matched(self) -> bool:
+        return not (self.unconsumed_layers or self.unassigned_layers
+                    or self.unconsumed_weights or self.unassigned_weights
+                    or self.mismatched)
+
+    def summary(self) -> str:
+        lines = []
+        if self.unconsumed_layers:
+            lines.append("The following layers were not consumed from .h5 file:")
+            lines += [f"- {n}" for n in self.unconsumed_layers]
+        if self.unassigned_layers:
+            lines.append("The following layers were not assigned any weights:")
+            lines += [f"- {n}" for n in self.unassigned_layers]
+        if self.unconsumed_weights:
+            lines.append("The following weights were not consumed from .h5 file:")
+            lines += [f"- {n} {s}" for n, s in self.unconsumed_weights]
+        if self.unassigned_weights:
+            lines.append("The following weights were not assigned any values:")
+            lines += [f"- {n} {s}" for n, s in self.unassigned_weights]
+        if self.mismatched:
+            lines.append("The following weights were skipped (shape mismatch):")
+            lines += [f"- {n} file{fs} vs model{ms}" for n, fs, ms in self.mismatched]
+        return "\n".join(lines) if lines else "all weights matched"
+
+    def log(self, print_fn=print) -> None:
+        if not self.fully_matched:
+            print_fn(self.summary())
+
+
+def _read_group_tree(group, kind: str):
+    """One h5 layer group → a flax params subtree (values float32)."""
+    if kind in ("pe", "token"):
+        names = _decode(group.attrs["weight_names"])
+        return np.asarray(group[names[0]], dtype=np.float32)
+    sub = _group_weights(group)
+    if kind == "dense":
+        return _to_float32(_dense(list(sub.values())[0]))
+    if kind == "ln":
+        return _to_float32(_ln(list(sub.values())[0]))
+    if kind == "bn":
+        gamma, beta, mean, var = list(sub.values())[0]
+        return {"params": _to_float32({"scale": gamma, "bias": beta}),
+                "batch_stats": _to_float32({"mean": mean, "var": var})}
+    if kind in ("block", "strided_block"):
+        return _to_float32(_block_params(group, strided=kind == "strided_block"))
+    raise ValueError(f"unknown layer kind {kind!r}")
+
+
+def _model_layer_plan(model: UpliftUpsampleTransformer):
+    """Ordered (flax param key, h5 layer name, kind) for every model layer."""
+    plan = []
+    if model.spatial_depth > 0:
+        plan.append(("keypoint_embedding", "keypoint_embedding", "dense"))
+        plan.append(("spatial_pe", "spatial_pe", "pe"))
+        for i in range(1, model.spatial_depth + 1):
+            plan.append((f"spatial_block_{i}", f"spatial_block_{i}", "block"))
+        plan.append(("spatial_norm", "spatial_norm", "ln"))
+    plan.append(("temporal_pe", "temporal_pe", "pe"))
+    plan.append(("spatial_to_temporal_fc", "spatial_to_temporal_fc", "dense"))
+    if model.has_strided_input:
+        plan.append(("strided_input_token", "strided_input_token_layer", "token"))
+    if model.token_mask_rate > 0 and model.learnable_masked_token:
+        plan.append(("masked_token", "learnable_masked_token_layer", "token"))
+    for i in range(1, model.temporal_depth + 1):
+        plan.append((f"temporal_block_{i}", f"temporal_block_{i}", "block"))
+    for i in range(1, len(model.strides) + 1):
+        plan.append((f"strided_temporal_pe_{i}", f"strided_temporal_pe_{i}", "pe"))
+        plan.append((f"strided_temporal_block_{i}", f"strided_temporal_block_{i}",
+                     "strided_block"))
+    if model.full_output and model.temporal_depth > 0:
+        if model.output_bn:
+            plan.append(("temporal_norm", "temporal_norm", "bn"))
+        plan.append(("temporal_fc", "temporal_fc", "dense"))
+    if model.output_bn:
+        plan.append(("strided_temporal_norm", "strided_temporal_norm", "bn"))
+    plan.append(("strided_temporal_fc", "strided_temporal_fc", "dense"))
+    return plan
+
+
+def _merge_with_template(loaded, template, path, transform, report,
+                         skip_mismatch):
+    """Merge a loaded subtree into the template's structure, leaf by leaf."""
+    if not isinstance(template, dict):
+        tshape = tuple(np.shape(template))
+        if isinstance(loaded, dict):
+            report.unassigned_weights.append((path, tshape))
+            for n, s in _leaf_items(loaded, path):
+                report.unconsumed_weights.append((n, s))
+            return template
+        if tuple(loaded.shape) != tshape:
+            if not skip_mismatch:
+                raise ValueError(
+                    f"Shape mismatch for weight {path}: file has "
+                    f"{tuple(loaded.shape)}, model expects {tshape}. "
+                    f"Pass skip_mismatch=True to skip it.")
+            report.mismatched.append((path, tuple(loaded.shape), tshape))
+            return template
+        report.assigned.append(path)
+        return transform(path, loaded) if transform is not None else loaded
+    if not isinstance(loaded, dict):
+        report.unconsumed_weights.append((path, tuple(np.shape(loaded))))
+        for n, s in _leaf_items(template, path):
+            report.unassigned_weights.append((n, s))
+        return template
+    out = {}
+    for k, tv in template.items():
+        child = f"{path}/{k}" if path else k
+        if k in loaded:
+            out[k] = _merge_with_template(loaded[k], tv, child, transform,
+                                          report, skip_mismatch)
+        else:
+            out[k] = tv
+            for n, s in _leaf_items(tv, child):
+                report.unassigned_weights.append((n, s))
+    for k, lv in loaded.items():
+        if k not in template:
+            for n, s in _leaf_items(lv, f"{path}/{k}" if path else k):
+                report.unconsumed_weights.append((n, s))
+    return out
+
+
+def _leaf_items(tree, prefix):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _leaf_items(v, f"{prefix}/{k}" if prefix else k)
+    else:
+        yield prefix, tuple(np.shape(tree))
+
+
+def load_keras_h5_by_name(path: str, model: UpliftUpsampleTransformer,
+                          template: Optional[Dict] = None, transform=None,
+                          skip_mismatch: bool = False,
+                          verbose: bool = True) -> Tuple[Dict, WeightLoadReport]:
+    """Name-based partial loading of a reference-format `.h5` checkpoint.
+
+    The counterpart of the reference's `load_weights_with_callback`
+    (`weight_io.py:76-263`): layers are matched by *name*; layers present in
+    the file but not in the model (and vice versa) are tolerated and reported,
+    as are individual missing/extra weights inside a matched layer. Shape
+    clashes raise unless `skip_mismatch=True` (then they are skipped and
+    reported) — Keras `load_weights_from_hdf5_group_by_name` semantics.
+
+    `template`: flax variables dict (e.g. from `init_model_params`) providing
+    the expected structure and the fallback values for unassigned weights.
+    Without a template the load is structural-strict (every expected layer
+    must parse), matching `load_keras_h5`.
+
+    `transform(path, value) -> value` is applied per weight at load time
+    (reference `KerasWeightLoadingCallback`, `weight_io.py:54-73`).
+
+    Returns `(variables, report)`.
+    """
+    import h5py
+
+    report = WeightLoadReport()
+    plan = _model_layer_plan(model)
+    loaded: Dict[str, object] = {}  # flax key → subtree (bn: both collections)
+    with h5py.File(path, "r") as f:
+        if "layer_names" not in f.attrs and "model_weights" in f:
+            f = f["model_weights"]
+        file_layers = _decode(f.attrs["layer_names"])
+        groups = {name: f[name] for name in file_layers}
+        consumed = {name: False for name in file_layers}
+
+        for flax_key, layer_name, kind in plan:
+            if layer_name not in groups:
+                report.unassigned_layers.append(layer_name)
+                continue
+            try:
+                loaded[flax_key] = _read_group_tree(groups[layer_name], kind)
+            except Exception as e:  # malformed group → a mismatch, not a crash
+                if not skip_mismatch:
+                    raise ValueError(
+                        f"Layer {layer_name!r} in {path} could not be parsed "
+                        f"as kind {kind!r}: {e}. Pass skip_mismatch=True to "
+                        f"skip it.") from e
+                report.mismatched.append((layer_name, (), ()))
+                continue
+            consumed[layer_name] = True
+        report.unconsumed_layers = [n for n, c in consumed.items() if not c]
+
+    params_loaded = {k: (v["params"] if isinstance(v, dict) and "params" in v
+                         and "batch_stats" in v else v)
+                     for k, v in loaded.items()}
+    bn_loaded = {k: v["batch_stats"] for k, v in loaded.items()
+                 if isinstance(v, dict) and "batch_stats" in v}
+
+    if template is None:
+        # Structural-strict: everything in the plan must have loaded.
+        missing = [ln for _, ln, _ in plan
+                   if ln in report.unassigned_layers]
+        if missing:
+            raise KeyError(
+                f"{path} is missing layers required by the model: {missing}. "
+                f"Use load_keras_h5_by_name(..., template=init vars) for "
+                f"partial loading.\n{report.summary()}")
+        if transform is not None:
+            params_loaded = _apply_transform(params_loaded, transform, "")
+        report.assigned = [n for n, _ in _leaf_items(params_loaded, "")]
+        variables = {"params": params_loaded}
+        if bn_loaded:
+            variables["batch_stats"] = bn_loaded
+        if verbose:
+            report.log()
+        return variables, report
+
+    tpl_params = template["params"] if "params" in template else template
+    tpl_bn = template.get("batch_stats", {}) if "params" in template else {}
+    params = _merge_with_template(params_loaded, tpl_params, "", transform,
+                                  report, skip_mismatch)
+    variables = {"params": params}
+    if tpl_bn or bn_loaded:
+        bn_report = WeightLoadReport()  # stats follow their params' fate
+        variables["batch_stats"] = _merge_with_template(
+            bn_loaded, tpl_bn, "", None, bn_report, skip_mismatch)
+        report.mismatched += bn_report.mismatched
+    if verbose:
+        report.log()
+    return variables, report
+
+
 def load_keras_h5(path: str, model: UpliftUpsampleTransformer,
                   transform=None) -> Dict:
-    """Read a reference-format `.h5` checkpoint into flax variables.
+    """Strict read of a reference-format `.h5` checkpoint into flax variables.
 
     Returns `{"params": ..., "batch_stats": ...}` (batch_stats only when the
-    model has output BatchNorm heads).
+    model has output BatchNorm heads). Every layer the model expects must be
+    present; a mismatch raises with the full diagnostic report (for tolerant
+    partial loading use `load_keras_h5_by_name`).
 
     `transform(path, value) -> value` is an optional per-weight hook applied
     to every loaded array, keyed by its flax path string — the counterpart of
     the reference's KerasWeightLoadingCallback (`weight_io.py:54-73`).
     """
-    import h5py
-
-    params: Dict = {}
-    batch_stats: Dict = {}
-    with h5py.File(path, "r") as f:
-        if "layer_names" not in f.attrs and "model_weights" in f:
-            f = f["model_weights"]
-        groups = {name: f[name] for name in _decode(f.attrs["layer_names"])}
-
-        def single(name):
-            g = groups[name]
-            return np.asarray(g[_decode(g.attrs["weight_names"])[0]])
-
-        if model.spatial_depth > 0:
-            params["keypoint_embedding"] = _dense(
-                list(_group_weights(groups["keypoint_embedding"]).values())[0])
-            params["spatial_pe"] = single("spatial_pe")
-            for i in range(1, model.spatial_depth + 1):
-                params[f"spatial_block_{i}"] = _block_params(
-                    groups[f"spatial_block_{i}"], strided=False)
-            params["spatial_norm"] = _ln(
-                list(_group_weights(groups["spatial_norm"]).values())[0])
-
-        params["temporal_pe"] = single("temporal_pe")
-        params["spatial_to_temporal_fc"] = _dense(
-            list(_group_weights(groups["spatial_to_temporal_fc"]).values())[0])
-
-        if model.has_strided_input:
-            params["strided_input_token"] = single("strided_input_token_layer")
-        if model.token_mask_rate > 0 and model.learnable_masked_token:
-            params["masked_token"] = single("learnable_masked_token_layer")
-
-        for i in range(1, model.temporal_depth + 1):
-            params[f"temporal_block_{i}"] = _block_params(
-                groups[f"temporal_block_{i}"], strided=False)
-
-        for i in range(1, len(model.strides) + 1):
-            params[f"strided_temporal_pe_{i}"] = single(f"strided_temporal_pe_{i}")
-            params[f"strided_temporal_block_{i}"] = _block_params(
-                groups[f"strided_temporal_block_{i}"], strided=True)
-
-        def read_bn(name):
-            values = list(_group_weights(groups[name]).values())[0]
-            gamma, beta, mean, var = values
-            params[name] = {"scale": gamma, "bias": beta}
-            batch_stats[name] = {"mean": mean, "var": var}
-
-        if model.full_output and model.temporal_depth > 0:
-            if model.output_bn:
-                read_bn("temporal_norm")
-            params["temporal_fc"] = _dense(
-                list(_group_weights(groups["temporal_fc"]).values())[0])
-        if model.output_bn:
-            read_bn("strided_temporal_norm")
-        params["strided_temporal_fc"] = _dense(
-            list(_group_weights(groups["strided_temporal_fc"]).values())[0])
-
-    params = _to_float32(params)
-    if transform is not None:
-        params = _apply_transform(params, transform, "")
-    variables = {"params": params}
-    if batch_stats:
-        variables["batch_stats"] = _to_float32(batch_stats)
+    variables, _ = load_keras_h5_by_name(path, model, template=None,
+                                         transform=transform, verbose=False)
     return variables
 
 
