@@ -1,0 +1,132 @@
+"""Multi-host feed: per-host rows must reassemble the single-process batch.
+
+Two layers of checking:
+  1. In-process: HostShardedBatcher with explicit (index, count) — the
+     concatenation over hosts is bit-identical to the unsharded batcher.
+  2. A real 2-process `jax.distributed` CPU run (subprocesses): each process
+     feeds its local rows into `jax.make_array_from_process_local_data` over
+     a global dp mesh and verifies global shape/content and a cross-process
+     reduction.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures")
+SYNTH_DIR = os.path.join(FIXTURE_DIR, "synth")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(SYNTH_DIR, "data_3d_h36m.npz")),
+    reason="synthetic npz missing")
+
+GEN_KWARGS = dict(seq_len=9, subsample=2, stride=5, padding_type="copy",
+                  flip_augment=True, in_batch_augment=True,
+                  mask_stride=[5, 10, 20], stride_mask_align_global=False,
+                  rand_shift_stride_mask=True, shuffle=True, seed=3)
+
+
+def _make_batcher(batch_size=32):
+    from uplift_upsample_tpu.data.fast_batcher import FastH36mBatcher
+    from uplift_upsample_tpu.data.generator import H36mSequenceGenerator
+    from uplift_upsample_tpu.data.keypoint_order import H36MOrder17P
+    from uplift_upsample_tpu.data.loading import (filter_and_subsample_dataset,
+                                                  load_dataset_and_2d_poses)
+
+    dataset, keypoints = load_dataset_and_2d_poses(
+        os.path.join(SYNTH_DIR, "data_3d_h36m.npz"),
+        os.path.join(SYNTH_DIR, "data_2d_h36m_synth.npz"), verbose=False)
+    cams, p3d, p2d, _, subj, act, frates = filter_and_subsample_dataset(
+        dataset=dataset, poses_2d=keypoints, subjects=["S1", "S5"],
+        action_filter="*", downsample=1, image_base_path=None, verbose=False)
+    gen = H36mSequenceGenerator(
+        p3d, p2d, camera_params=cams, subjects=subj, actions=act,
+        frame_rates=frates, split="t",
+        flip_lr_indices=H36MOrder17P.flip_lr_indices(), verbose=False,
+        **GEN_KWARGS)
+    return FastH36mBatcher(gen, batch_size=batch_size)
+
+
+def test_host_sharded_rows_match_single_process():
+    from uplift_upsample_tpu.data.multihost import HostShardedBatcher
+
+    n_batches = 3
+    ref_iter = _make_batcher().batches()
+    ref = [next(ref_iter) for _ in range(n_batches)]
+
+    shards = []
+    for p in range(2):
+        it = HostShardedBatcher(_make_batcher(), process_index=p,
+                                process_count=2).batches()
+        shards.append([next(it) for _ in range(n_batches)])
+
+    for k in range(n_batches):
+        for col, ref_col in enumerate(ref[k]):
+            got = np.concatenate([np.asarray(shards[p][k][col])
+                                  for p in range(2)], axis=0)
+            np.testing.assert_array_equal(got, np.asarray(ref_col),
+                                          err_msg=f"batch {k} col {col}")
+            assert shards[0][k][col].shape[0] == ref_col.shape[0] // 2
+
+
+_WORKER = r"""
+import os, sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=sys.argv[1],
+                           num_processes=2, process_id=int(sys.argv[2]))
+sys.path.insert(0, {repo!r})
+sys.path.insert(0, os.path.join({repo!r}, "tests"))
+from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
+from test_multihost import _make_batcher
+from uplift_upsample_tpu.data.multihost import HostShardedBatcher, globalize_batch
+
+assert jax.process_count() == 2, jax.process_count()
+batcher = HostShardedBatcher(_make_batcher())
+local = next(iter(batcher.batches()))
+devices = np.asarray(jax.devices()).reshape(-1)
+mesh = Mesh(devices, ("dp",))
+global_batch = globalize_batch(mesh, local)
+assert global_batch[0].shape[0] == 32, global_batch[0].shape
+# Addressable shards hold exactly this process's rows (in order)
+rows = np.concatenate(
+    [np.asarray(s.data) for s in
+     sorted(global_batch[0].addressable_shards, key=lambda s: s.index[0].start)])
+np.testing.assert_array_equal(rows, np.asarray(local[0]))
+# Cross-process reduction over the global array
+total = jax.jit(lambda x: x.sum(), out_shardings=NamedSharding(mesh, P()))(
+    global_batch[0])
+np.save(sys.argv[3], np.asarray([float(total)], np.float64))
+print("worker ok", jax.process_index())
+"""
+
+
+def test_two_process_distributed_feed(tmp_path):
+    port = 23457
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    script = _WORKER.format(repo=REPO)
+
+    procs, outs = [], []
+    for p in range(2):
+        out = str(tmp_path / f"sum_{p}.npy")
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", script, f"127.0.0.1:{port}", str(p), out],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    for p, proc in enumerate(procs):
+        stdout, _ = proc.communicate(timeout=420)
+        assert proc.returncode == 0, f"proc {p}:\n{stdout.decode()[-3000:]}"
+
+    expected = float(np.asarray(next(iter(_make_batcher().batches()))[0],
+                                np.float64).sum())
+    for out in outs:
+        got = float(np.load(out)[0])
+        assert np.isclose(got, expected, rtol=1e-5), (got, expected)

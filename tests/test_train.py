@@ -153,8 +153,17 @@ def test_train_smoke_and_resume(tmp_path):
     # resume: epoch 3 only
     config3 = config.copy()
     config3.EPOCHS = 3
-    hist2, _, last2 = train_and_validate(config=config3, continue_training=True, **kwargs)
+    hist2, best2, last2 = train_and_validate(config=config3, continue_training=True, **kwargs)
     assert last2.endswith("last_weights_0003.h5")
+    # Best-checkpoint continuity across the resume: the pre-resume history is
+    # restored, so epochs 1-2 still participate in best tracking...
+    for epoch in (1, 2, 3):
+        assert hist2.value_at_step("MPJPE", epoch) is not None, epoch
+    assert hist2.value_at_step("MPJPE", 1) == hist.value_at_step("MPJPE", 1)
+    # ...and the surviving best .h5 is the best epoch over ALL epochs.
+    _, best_epoch = hist2.best_value(config.BEST_CHECKPOINT_METRIC)
+    assert best2 is not None and best2.endswith(f"best_weights_{best_epoch:04d}.h5")
+    assert os.path.exists(best2)
 
 
 def test_train_step_loss_decreases():

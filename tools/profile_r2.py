@@ -137,6 +137,33 @@ def main():
             return temporal_stack_apply(variables["params"], t, None,
                                         num_blocks=4, num_heads=8)
         sec = device_timer(fn, t_in)
+    elif v.startswith("temporal4_v2"):
+        # temporal4_v2[_high3|_highest][_wpt<N>][_noattn|_onehead]
+        _, variables = build()
+        from uplift_upsample_tpu.ops.pallas_temporal import (HIGH3,
+                                                             fused_temporal_stack,
+                                                             stack_temporal_params)
+        prec = jax.lax.Precision.DEFAULT
+        if "_high3" in v:
+            prec = HIGH3
+        elif "_highest" in v:
+            prec = jax.lax.Precision.HIGHEST
+        wpt = 8
+        for part in v.split("_"):
+            if part.startswith("wpt"):
+                wpt = int(part[3:])
+        attn_mode = "maskq"
+        if "_noattn" in v:
+            attn_mode = "none"
+        elif "_onehead" in v:
+            attn_mode = "onehead"
+        stacked = stack_temporal_params(variables["params"], 4)
+
+        def fn(t):
+            return fused_temporal_stack(t, stacked, None, num_blocks=4,
+                                        num_heads=8, windows_per_tile=wpt,
+                                        precision=prec, attn_mode=attn_mode)
+        sec = device_timer(fn, t_in)
     elif v.startswith("strided_"):
         dtype = "float32" if v.endswith("f32") else "bfloat16"
         model, variables = build(dtype)

@@ -179,3 +179,206 @@ def temporal_stack_apply(params: Dict, x: jax.Array,
         x = fused_temporal_block(x, params[f"temporal_block_{i + 1}"], mask,
                                  num_heads=num_heads, precision=precision)
     return x
+
+
+# ---------------------------------------------------------------------------
+# v2: one kernel per block with a fused qkv projection, q-side head masking,
+# and the same DEFAULT/HIGH3/HIGHEST dot-precision options as the spatial
+# kernel. Unlike v1 (kept above as the documented baseline), all Dense work
+# per block is 3 full-width MXU dots (qkv / proj / mlp) over the flattened
+# (windows_per_tile · S, C) tile.
+# ---------------------------------------------------------------------------
+
+HIGH3 = "high3"  # manual bf16x3 (Precision.HIGH equivalent; Mosaic lacks HIGH)
+
+
+def _make_dot(precision):
+    """(M, K) @ (K, N) f32 dot with the chosen Mosaic precision strategy."""
+    dims = (((1,), (0,)), ((), ()))
+    if precision == HIGH3:
+        def dot(a, b):
+            a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+            a_lo = a - a_hi
+            b_hi = b.astype(jnp.bfloat16).astype(jnp.float32)
+            b_lo = b - b_hi
+            y = jax.lax.dot_general(a_hi, b_hi, dims,
+                                    preferred_element_type=jnp.float32)
+            y += jax.lax.dot_general(a_hi, b_lo, dims,
+                                     preferred_element_type=jnp.float32)
+            y += jax.lax.dot_general(a_lo, b_hi, dims,
+                                     preferred_element_type=jnp.float32)
+            return y
+        return dot
+
+    def dot(a, b):
+        return jax.lax.dot_general(a, b, dims,
+                                   preferred_element_type=jnp.float32,
+                                   precision=precision)
+    return dot
+
+
+def stack_temporal_params(params: Dict, num_blocks: int,
+                          prefix: str = "temporal_block_"):
+    """Stack the temporal blocks' params into fused-kernel operands.
+
+    q/k/v kernels are concatenated into one (C, 3C) matrix per block so the
+    projection is a single MXU dot. Missing biases become zeros.
+    """
+    blocks = [params[f"{prefix}{i + 1}"] for i in range(num_blocks)]
+    c = np.asarray(blocks[0]["attn"]["wq"]["kernel"]).shape[0]
+    hidden = np.asarray(blocks[0]["mlp"]["fc1"]["kernel"]).shape[1]
+
+    def bias(p, name, n):
+        b = p.get(name, {}).get("bias")
+        return np.zeros((n,), np.float32) if b is None else np.asarray(b, np.float32)
+
+    def st(get):
+        return jnp.stack([jnp.asarray(get(b), jnp.float32) for b in blocks])
+
+    return dict(
+        ln1_g=st(lambda b: b["norm1"]["scale"]),
+        ln1_b=st(lambda b: b["norm1"]["bias"]),
+        wqkv=st(lambda b: np.concatenate(
+            [np.asarray(b["attn"][w]["kernel"], np.float32)
+             for w in ("wq", "wk", "wv")], axis=1)),
+        bqkv=st(lambda b: np.concatenate(
+            [bias(b["attn"], w, c) for w in ("wq", "wk", "wv")])),
+        wp=st(lambda b: b["attn"]["proj"]["kernel"]),
+        bp=st(lambda b: bias(b["attn"], "proj", c)),
+        ln2_g=st(lambda b: b["norm2"]["scale"]),
+        ln2_b=st(lambda b: b["norm2"]["bias"]),
+        w1=st(lambda b: b["mlp"]["fc1"]["kernel"]),
+        b1=st(lambda b: bias(b["mlp"], "fc1", hidden)),
+        w2=st(lambda b: b["mlp"]["fc2"]["kernel"]),
+        b2=st(lambda b: bias(b["mlp"], "fc2", c)),
+    )
+
+
+_STACK_ORDER = ["ln1_g", "ln1_b", "wqkv", "bqkv", "wp", "bp",
+                "ln2_g", "ln2_b", "w1", "b1", "w2", "b2"]
+
+
+def _make_block_kernel_v2(windows_per_tile: int, tokens: int, c: int,
+                          num_heads: int, precision, activation: str,
+                          attn_mode: str = "maskq"):
+    depth = c // num_heads
+    scale = np.float32(1.0 / float(depth) ** 0.5)
+    s = tokens
+    dot = _make_dot(precision)
+
+    def kernel(x_ref, addmask_ref, ln1_g_ref, ln1_b_ref, wqkv_ref, bqkv_ref,
+               wp_ref, bp_ref, ln2_g_ref, ln2_b_ref, w1_ref, b1_ref,
+               w2_ref, b2_ref, o_ref):
+        x = x_ref[:].astype(jnp.float32)  # (wpt*s, c)
+        y = _layer_norm_rows(x, ln1_g_ref[0], ln1_b_ref[0], 1e-5)
+        qkv = dot(y, wqkv_ref[0]) + bqkv_ref[0][None, :]
+        q = qkv[:, :c] * scale
+        k = qkv[:, c:2 * c]
+        v = qkv[:, 2 * c:]
+        # Per-head channel selectors, built in-kernel (captured host arrays
+        # are rejected by pallas_call)
+        head_of_lane = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1) // depth
+
+        attn_rows = []
+        for w in range(windows_per_tile):
+            rows = slice(w * s, (w + 1) * s)
+            qw, kw, vw = q[rows], k[rows], v[rows]
+            neg = addmask_ref[w][None, :]  # (1, s) additive, -1e9 on blocked
+            if attn_mode == "none":  # perf bisection: skip attention math
+                attn_rows.append(vw + neg.T * 0.0)
+                continue
+            kt = kw.T
+            ctx = None
+            heads = 1 if attn_mode == "onehead" else num_heads
+            for h in range(heads):
+                mh = (head_of_lane == h).astype(jnp.float32)
+                # Masking q alone selects head h's channels in the contraction
+                logits = dot(qw * mh, kt) + neg
+                m = jnp.max(logits, axis=1, keepdims=True)
+                ex = jnp.exp(logits - m)
+                wgt = ex / jnp.sum(ex, axis=1, keepdims=True)
+                piece = dot(wgt, vw * mh)
+                ctx = piece if ctx is None else ctx + piece
+            attn_rows.append(ctx)
+        attn = jnp.concatenate(attn_rows, axis=0)
+
+        x = x + dot(attn, wp_ref[0]) + bp_ref[0][None, :]
+        z = _layer_norm_rows(x, ln2_g_ref[0], ln2_b_ref[0], 1e-5)
+        z = dot(z, w1_ref[0]) + b1_ref[0][None, :]
+        if activation == "relu":
+            z = jnp.maximum(z, 0.0)
+        else:  # exact gelu via erf approximation (Mosaic has no erf)
+            from .pallas_spatial import _erf
+            z = 0.5 * z * (1.0 + _erf(z * np.float32(1.0 / np.sqrt(2.0))))
+        z = dot(z, w2_ref[0]) + b2_ref[0][None, :]
+        o_ref[:] = (x + z).astype(o_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_heads", "num_blocks", "first_masked_blocks", "windows_per_tile",
+    "precision", "activation", "attn_mode"))
+def fused_temporal_stack(x: jax.Array, stacked: Dict,
+                         key_mask: Optional[jax.Array] = None, *,
+                         num_blocks: int, num_heads: int,
+                         first_masked_blocks: int = 0,
+                         windows_per_tile: int = 8,
+                         precision=jax.lax.Precision.DEFAULT,
+                         activation: str = "relu",
+                         attn_mode: str = "maskq") -> jax.Array:
+    """x: (B, S, C) → (B, S, C) through `num_blocks` fused transformer blocks.
+
+    `key_mask` (B, S), True/1 = blocked key, applied to the first
+    `first_masked_blocks` blocks (reference
+    first_strided_token_attention_layer); the padding token (S→8-aligned) is
+    always blocked. Eval path only (no dropout/droppath RNG).
+    """
+    b, s_in, c = x.shape
+    s = -(-s_in // 8) * 8
+    while b % windows_per_tile != 0 and windows_per_tile > 1:
+        windows_per_tile //= 2
+
+    xp = jnp.pad(x, ((0, 0), (0, s - s_in), (0, 0))) if s != s_in else x
+    flat = xp.reshape(b * s, c)
+
+    pad_row = np.zeros((s,), np.float32)
+    pad_row[s_in:] = 1.0
+    a_pad = jnp.broadcast_to(jnp.asarray(pad_row) * -1e9, (b, s))
+    if key_mask is not None and first_masked_blocks > 0:
+        km = jnp.pad(key_mask.astype(jnp.float32), ((0, 0), (0, s - s_in)),
+                     constant_values=1.0)
+        a_key = jnp.maximum(km, jnp.asarray(pad_row)[None]) * -1e9
+    else:
+        a_key = a_pad
+        first_masked_blocks = 0
+
+    kernel = _make_block_kernel_v2(windows_per_tile, s, c, num_heads,
+                                   precision, activation, attn_mode)
+    rows = windows_per_tile * s
+
+    out = flat
+    for blk in range(num_blocks):
+        addmask = a_key if blk < first_masked_blocks else a_pad
+        in_specs = [
+            pl.BlockSpec((rows, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((windows_per_tile, s), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args = [out, addmask]
+        for name in _STACK_ORDER:
+            arr = stacked[name]
+            in_specs.append(pl.BlockSpec(
+                (1,) + arr.shape[1:],
+                lambda i, b_=blk, n_=arr.ndim: (b_,) + (0,) * (n_ - 1),
+                memory_space=pltpu.VMEM))
+            args.append(arr)
+        out = pl.pallas_call(
+            kernel,
+            grid=(b // windows_per_tile,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((rows, c), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b * s, c), jnp.float32),
+        )(*args)
+    return out.reshape(b, s, c)[:, :s_in]

@@ -13,6 +13,7 @@ CLI:
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -235,6 +236,25 @@ def train_and_validate(config: UpliftUpsampleConfig, out_dir, dataset_name="h36m
         assert config.BEST_CHECKPOINT_METRIC in metrics
 
     prev_best_weights_path, last_weights_path = None, None
+    # Resume completeness: the Orbax checkpoint holds only the numeric state;
+    # MetricHistory and the best/last .h5 paths live in a sidecar so a resumed
+    # run keeps best-checkpoint tracking instead of restarting it empty (the
+    # reference loses this history on --continue_training, train.py:430-438 —
+    # a stale best_weights_*.h5 could then survive or be overwritten).
+    history_sidecar = os.path.join(out_dir, "train_history.json")
+    if continue_training and os.path.exists(history_sidecar):
+        with open(history_sidecar) as f:
+            sidecar = json.load(f)
+        metric_hist.restore(sidecar["metric_history"])
+        prev_best_weights_path = sidecar.get("prev_best_weights_path")
+        if prev_best_weights_path and not os.path.exists(prev_best_weights_path):
+            prev_best_weights_path = None
+        last_weights_path = sidecar.get("last_weights_path")
+        if last_weights_path and not os.path.exists(last_weights_path):
+            last_weights_path = None
+        log(f"Restored metric history through epoch "
+            f"{sidecar.get('epoch')} (best: {prev_best_weights_path})")
+
     root = config.ROOT_KEYTPOINT
     mid = config.SEQUENCE_LENGTH // 2
 
@@ -243,11 +263,27 @@ def train_and_validate(config: UpliftUpsampleConfig, out_dir, dataset_name="h36m
             return FastH36mBatcher(gen, batch_size=config.BATCH_SIZE)
         return FastAMASSBatcher(gen, batch_size=config.BATCH_SIZE)
 
+    # Multi-host: every process builds the identical deterministic batcher
+    # and materializes only its row range of each global batch; the train
+    # step then runs on globally-sharded arrays (data/multihost.py).
+    multihost = jax.process_count() > 1
+    train_batcher = make_fast_batcher(train_gen, dataset_name)
+    if multihost:
+        from .data.multihost import HostShardedBatcher, globalize_batch
+        assert mesh is not None, "multi-host training requires a dp mesh"
+        train_batcher = HostShardedBatcher(train_batcher)
+        log(f"Multi-host feed: process {jax.process_index()}/"
+            f"{jax.process_count()}, local batch {train_batcher.batch_size}")
+
     # Native-accelerated host feed, produced ahead by a background thread
-    train_iter = _threaded(make_fast_batcher(train_gen, dataset_name).batches(), depth=4)
+    train_iter = _threaded(train_batcher.batches(), depth=4)
     val_batcher = None if val_gen is None else make_fast_batcher(val_gen, val_dataset_name)
+    if multihost and val_batcher is not None:
+        val_batcher = HostShardedBatcher(val_batcher)
 
     def to_device(batch):
+        if multihost:
+            return globalize_batch(mesh, batch)
         if mesh is not None:
             return shard_batch(batch, mesh)
         return batch
@@ -300,6 +336,14 @@ def train_and_validate(config: UpliftUpsampleConfig, out_dir, dataset_name="h36m
             for batch in itertools.islice(val_batcher.batches(), n_val_batches):
                 subjects, actions = batch[-4], batch[-3]
                 pred_central, central_gt, loss = val_step(val_params, to_device(batch))
+                if multihost:
+                    # Metrics are computed on host over the full batch: gather
+                    # the sharded outputs (and each host's id rows) everywhere.
+                    from jax.experimental import multihost_utils
+                    pred_central = multihost_utils.process_allgather(pred_central, tiled=True)
+                    central_gt = multihost_utils.process_allgather(central_gt, tiled=True)
+                    subjects = multihost_utils.process_allgather(subjects, tiled=True)
+                    actions = multihost_utils.process_allgather(actions, tiled=True)
                 # Keep device arrays; fetch once after the loop (per-batch
                 # device_get syncs the pipeline on relay-tunneled PJRT)
                 include = min(config.BATCH_SIZE, config.VALIDATION_EXAMPLES - examples)
@@ -363,6 +407,12 @@ def train_and_validate(config: UpliftUpsampleConfig, out_dir, dataset_name="h36m
         os.makedirs(checkpoint_dir, exist_ok=True)
         val_params = state.ema_params if config.EMA_ENABLED else state.params
         save_keras_h5(last_weights_path, {"params": jax.device_get(val_params)}, model)
+
+        with open(history_sidecar, "w") as f:
+            json.dump({"epoch": epoch,
+                       "metric_history": metric_hist.to_dict(),
+                       "prev_best_weights_path": prev_best_weights_path,
+                       "last_weights_path": last_weights_path}, f)
 
     logger.close()
     if val_gen is not None:

@@ -23,6 +23,28 @@ class MetricHistory:
     def add_data(self, metric, value, step):
         self.history[metric].append((step, float(value)))
 
+    def to_dict(self):
+        """JSON-serializable snapshot (for checkpoint sidecars)."""
+        return {
+            "metrics": list(self.metrics),
+            "higher": list(self.higher),
+            "history": {m: [[s, v] for s, v in hist]
+                        for m, hist in self.history.items()},
+        }
+
+    def restore(self, data):
+        """Merge a `to_dict` snapshot into this instance.
+
+        Registered metrics keep their direction; snapshot-only metrics are
+        registered from the snapshot. Existing entries are replaced.
+        """
+        for m, higher in zip(data["metrics"], data["higher"]):
+            if m not in self.metrics:
+                self.add_metric(m, higher_is_better=higher)
+        for m, hist in data["history"].items():
+            if m in self.history:
+                self.history[m] = [(int(s), float(v)) for s, v in hist]
+
     def best_value(self, metric):
         """Returns (value, step) of the best entry, or (None, None)."""
         hist = self.history[metric]
