@@ -166,6 +166,34 @@ def test_train_smoke_and_resume(tmp_path):
     assert os.path.exists(best2)
 
 
+@pytest.mark.skipif(not os.path.exists(os.path.join(SYNTH_DIR, "amass")),
+                    reason="synthetic amass missing")
+def test_train_amass_smoke(tmp_path):
+    """End-to-end AMASS pre-training path: cam18 batches → device-side
+    world→cam + 2D projection inside the jitted step, frame-wise validation,
+    h5 export (reference train.py create_amass_datasets path)."""
+    from uplift_upsample_tpu.train import train_and_validate
+    from uplift_upsample_tpu.models import build_uplift_upsample_transformer
+    from uplift_upsample_tpu.utils.weights_h5 import load_keras_h5
+
+    config = _tiny_config()
+    config.EPOCHS = 2
+    # AMASS configs use plain MPJPE (no action-wise metrics; amass_351.json)
+    config.BEST_CHECKPOINT_METRIC = "MPJPE"
+    out_dir = str(tmp_path / "amass_run")
+    hist, best_path, last_path = train_and_validate(
+        config=config.copy(), out_dir=out_dir, dataset_name="amass",
+        amass_path=os.path.join(SYNTH_DIR, "amass"),
+        h36m_path=os.path.join(SYNTH_DIR, "data_3d_h36m.npz"),
+        train_subset="train_debug", val_subset="val", test_subset=None)
+    assert hist.latest_value("MPJPE") is not None
+    assert np.isfinite(hist.latest_value("MPJPE"))
+    assert best_path is not None and os.path.exists(best_path)
+    assert last_path.endswith("last_weights_0002.h5")
+    model = build_uplift_upsample_transformer(config)
+    assert "params" in load_keras_h5(last_path, model)
+
+
 def test_train_step_loss_decreases():
     """Direct train-step loop on a deterministic batch must reduce the loss."""
     from uplift_upsample_tpu.models import build_uplift_upsample_transformer, init_model_params
