@@ -1,0 +1,157 @@
+"""Quantify on-chip numeric drift of the eval/bench configurations.
+
+The parity bar (BASELINE.md) is MPJPE within 0.1 mm of the reference; matmul
+precision on TPU is the lever that can silently break it (default f32 dots
+run as 1-pass bf16). This tool measures, on the REAL chip, the central-output
+drift of each candidate eval configuration against a CPU-f32 (highest) truth
+computed in a subprocess — on random weights, which drift *more* than trained
+ones, so a configuration that passes here is safe.
+
+Reported per variant: mean and max per-joint distance to truth, in
+milli-units ("mm" once outputs are meters, as on real data).
+
+Usage: python tools/check_tpu_parity.py [--batch 64] [--variants a,b,...]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+sys.path.insert(0, REPO)
+
+TRUTH_PATH = "/tmp/tpu_parity_truth.npz"
+BATCH = 64
+
+_TRUTH_SCRIPT = r"""
+import sys
+sys.path.insert(0, sys.argv[1])
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+from tools.check_tpu_parity import build_model_and_inputs
+model, variables, x, sm = build_model_and_inputs(int(sys.argv[3]))
+full, central = jax.jit(
+    lambda v, a, m: model.apply(v, a, stride_mask=m, training=False)
+)(variables, x, sm)
+np.savez(sys.argv[2], central=np.asarray(central), full=np.asarray(full))
+print("truth ok", central.shape)
+"""
+
+
+def build_model_and_inputs(batch):
+    import jax.numpy as jnp
+    from uplift_upsample_tpu.config import UpliftUpsampleConfig
+    from uplift_upsample_tpu.models import (build_uplift_upsample_transformer,
+                                            init_model_params)
+
+    config = UpliftUpsampleConfig()
+    config.update_from({
+        "SEQUENCE_LENGTH": 71, "SEQUENCE_STRIDE": 5, "SPATIAL_EMBED_DIM": 32,
+        "TEMPORAL_EMBED_DIM": 384, "SPATIAL_TRANSFORMER_BLOCKS": 4,
+        "TEMPORAL_TRANSFORMER_BLOCKS": 4, "STRIDES": [3, 10, 3],
+        "PADDINGS": [[0, 0], [0, 0], [0, 0]], "NUM_HEADS": 8,
+        "MASK_STRIDE": [5, 10, 20], "FIRST_STRIDED_TOKEN_ATTENTION_LAYER": 1,
+        "DROP_PATH_RATE": [0.1, 0.1, 0.0],
+    })
+    model = build_uplift_upsample_transformer(config)
+    variables = init_model_params(model, seed=0)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(batch, 71, 17, 2)).astype(np.float32) * 0.3)
+    sm = jnp.asarray((np.arange(71) % 5 == 0))[None].repeat(batch, axis=0)
+    x = x * sm[:, :, None, None].astype(x.dtype)
+    return model, variables, x, sm
+
+
+def ensure_truth(batch):
+    if os.path.exists(TRUTH_PATH):
+        d = np.load(TRUTH_PATH)
+        if d["central"].shape[0] == batch:
+            return d
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    subprocess.run([sys.executable, "-c", _TRUTH_SCRIPT, REPO, TRUTH_PATH,
+                    str(batch)], env=env, check=True)
+    return np.load(TRUTH_PATH)
+
+
+def run_variant(name, model, variables, x, sm):
+    """Returns the central output under the named TPU configuration."""
+    import jax
+
+    if name.startswith("fused_"):
+        from uplift_upsample_tpu.ops.pallas_spatial import HIGH3, spatial_stack_apply
+        sp_prec = {"fused_default": jax.lax.Precision.DEFAULT,
+                   "fused_high3": HIGH3,
+                   "fused_highest": jax.lax.Precision.HIGHEST}[name]
+        tail = model.clone(spatial_input=True)
+
+        @jax.jit
+        def fwd(v, a, m):
+            sp = spatial_stack_apply(v["params"], a, num_blocks=4, num_heads=8,
+                                     precision=sp_prec)
+            return tail.apply(v, sp, stride_mask=m, training=False)[1]
+        return np.asarray(jax.device_get(fwd(variables, x, sm)))
+
+    if name.startswith("xla_"):
+        prec = name.split("_", 1)[1]  # default | high | highest
+
+        @jax.jit
+        def fwd(v, a, m):
+            with jax.default_matmul_precision(prec):
+                return model.apply(v, a, stride_mask=m, training=False)[1]
+        return np.asarray(jax.device_get(fwd(variables, x, sm)))
+
+    if name.startswith("bench_"):
+        # fused spatial + fused temporal tail combinations (current bench path
+        # candidates); suffix = <spatial prec>-<temporal prec>
+        from uplift_upsample_tpu.ops import pallas_spatial, pallas_temporal
+        sp_name, tm_name = name.split("_", 1)[1].split("-")
+        to_prec = {"default": jax.lax.Precision.DEFAULT,
+                   "high3": "high3",
+                   "highest": jax.lax.Precision.HIGHEST}
+        from uplift_upsample_tpu.models.bench_forward import bench_forward
+        return np.asarray(jax.device_get(bench_forward(
+            model, variables, x, sm,
+            spatial_precision=to_prec[sp_name],
+            temporal_precision=to_prec[tm_name])))
+
+    raise SystemExit(f"unknown variant {name}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=BATCH)
+    ap.add_argument("--variants",
+                    default="xla_default,xla_highest,fused_default,fused_high3")
+    args = ap.parse_args()
+
+    truth = ensure_truth(args.batch)["central"].astype(np.float64)
+    scale = float(np.std(truth))
+
+    model, variables, x, sm = build_model_and_inputs(args.batch)
+    for name in args.variants.split(","):
+        got = run_variant(name, model, variables, x, sm).astype(np.float64)
+        dist = np.linalg.norm(got - truth, axis=-1)  # (B, 17) per-joint
+        print(json.dumps({
+            "variant": name,
+            "mean_mm": round(float(dist.mean() * 1000.0), 4),
+            "max_mm": round(float(dist.max() * 1000.0), 4),
+            "out_std": round(scale, 4),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_comp_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    main()

@@ -157,6 +157,8 @@ def main():
             attn_mode = "none"
         elif "_onehead" in v:
             attn_mode = "onehead"
+        elif "_batched" in v:
+            attn_mode = "batched"
         stacked = stack_temporal_params(variables["params"], 4)
 
         def fn(t):
@@ -197,6 +199,102 @@ def main():
 
         def fn(t):
             return sm_.apply({"params": sparams}, t)
+        sec = device_timer(fn, t_in)
+    elif v.startswith("pk_"):
+        # Micro-bisection kernels on the v2 tile layout: (576, 384) per step,
+        # grid 256 (B=2048, wpt=8), x4 sequential calls like the 4 blocks.
+        import functools
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        c, hidden, rows = 384, 768, 576
+        rng2 = np.random.default_rng(1)
+        wqkv = jnp.asarray(rng2.normal(size=(c, 3 * c)).astype(np.float32) * 0.05)
+        wp = jnp.asarray(rng2.normal(size=(c, c)).astype(np.float32) * 0.05)
+        w1 = jnp.asarray(rng2.normal(size=(c, hidden)).astype(np.float32) * 0.05)
+        w2 = jnp.asarray(rng2.normal(size=(hidden, c)).astype(np.float32) * 0.05)
+        g = jnp.ones((c,), jnp.float32)
+
+        def ln(x, gamma):
+            mu = jnp.mean(x, axis=1, keepdims=True)
+            var = jnp.mean((x - mu) ** 2, axis=1, keepdims=True)
+            return (x - mu) / jnp.sqrt(var + 1e-5) * gamma[None, :]
+
+        dot = lambda a, b: jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
+
+        bqkv = jnp.zeros((3 * c,), jnp.float32)
+        bp = jnp.zeros((c,), jnp.float32)
+        b1 = jnp.zeros((hidden,), jnp.float32)
+        b2 = jnp.zeros((c,), jnp.float32)
+        amask = jnp.zeros((b, 72), jnp.float32)
+        with_bias = v in ("pk_bias", "pk_mask", "pk_all")
+        with_mask = v in ("pk_mask", "pk_all")
+
+        def body(x, refs):
+            (wqkv_ref, wp_ref, w1_ref, w2_ref, g_ref) = refs[:5]
+            if v == "pk_copy":
+                return x * 1.000001
+            if v == "pk_ln":
+                return ln(ln(x, g_ref[:]), g_ref[:])
+            if v == "pk_qkv":
+                qkv = dot(ln(x, g_ref[:]), wqkv_ref[:])
+                return x + qkv[:, :c] + qkv[:, c:2 * c] + qkv[:, 2 * c:]
+            y = ln(x, g_ref[:])
+            qkv = dot(y, wqkv_ref[:])
+            if with_bias:
+                qkv = qkv + refs[5][:][None, :]
+            attn = qkv[:, 2 * c:]  # pretend ctx = v
+            if with_mask:
+                neg = refs[9][:]  # (wpt=8, 72)
+                attn = attn + neg.reshape(-1)[:, None] * 0.0
+            x = x + dot(attn, wp_ref[:])
+            if with_bias:
+                x = x + refs[6][:][None, :]
+            z = ln(x, g_ref[:])
+            z = jnp.maximum(dot(z, w1_ref[:]), 0.0)
+            if with_bias:
+                z = z + refs[7][:][None, :]
+            z = dot(z, w2_ref[:])
+            if with_bias:
+                z = z + refs[8][:][None, :]
+            return x + z
+
+        def kernel(*refs):
+            x = refs[0][:]
+            refs_rest = refs[1:-1]
+            refs[-1][:] = body(x, refs_rest)
+
+        def full(a):
+            return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                memory_space=pltpu.VMEM)
+
+        @jax.jit
+        def fn(t):
+            flat = jnp.pad(t, ((0, 0), (0, 1), (0, 0))).reshape(-1, c)
+            out = flat
+            for _ in range(4):
+                in_specs = [pl.BlockSpec((rows, c), lambda i: (i, 0),
+                                         memory_space=pltpu.VMEM),
+                            full(wqkv), full(wp), full(w1), full(w2), full(g)]
+                args = [out, wqkv, wp, w1, w2, g]
+                if with_bias:
+                    in_specs += [full(bqkv), full(bp), full(b1), full(b2)]
+                    args += [bqkv, bp, b1, b2]
+                if with_mask:
+                    in_specs.append(pl.BlockSpec((8, 72), lambda i: (i, 0),
+                                                 memory_space=pltpu.VMEM))
+                    args.append(amask)
+                out = pl.pallas_call(
+                    kernel,
+                    grid=(out.shape[0] // rows,),
+                    in_specs=in_specs,
+                    out_specs=pl.BlockSpec((rows, c), lambda i: (i, 0),
+                                           memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct(flat.shape, jnp.float32),
+                )(*args)
+            return out.reshape(b, 72, c)[:, :71]
         sec = device_timer(fn, t_in)
     else:
         raise SystemExit(f"unknown variant {v}")

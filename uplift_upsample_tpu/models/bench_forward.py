@@ -1,0 +1,58 @@
+"""Fused eval forward: Pallas spatial stack + Pallas temporal stack + XLA tail.
+
+The bench/eval fast path. Equivalent to `model.apply(..., training=False)`
+modulo dot precision (verified by tests/test_bench_forward.py and quantified
+on-chip by tools/check_tpu_parity.py):
+
+  masked 2D → fused spatial kernel (ops/pallas_spatial.py)
+            → spatial_to_temporal Dense + strided-token substitution + PE (XLA)
+            → fused temporal stack (ops/pallas_temporal.py, batched attention)
+            → strided stack + heads via the model's temporal_input splice.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.pallas_spatial import spatial_stack_apply
+from ..ops.pallas_temporal import fused_temporal_stack, stack_temporal_params
+from .uplift_upsample import UpliftUpsampleTransformer
+
+
+def bench_forward(model: UpliftUpsampleTransformer, variables, x2d_masked,
+                  stride_mask, *, spatial_precision, temporal_precision,
+                  stacked_temporal=None):
+    """Central-frame output of the fused eval path.
+
+    x2d_masked: (B, N, 17, 2) already masked at non-keyframes;
+    stride_mask: (B, N) with 1/True on frames carrying real input.
+    """
+    params = variables["params"]
+    sp = spatial_stack_apply(params, x2d_masked, num_blocks=model.spatial_depth,
+                             num_heads=model.num_heads,
+                             precision=spatial_precision)  # (B, N, P·C)
+
+    fc = params["spatial_to_temporal_fc"]
+    y = sp @ fc["kernel"] + fc["bias"]
+
+    inv_mask = None
+    if model.has_strided_input:
+        sm = stride_mask.astype(y.dtype)[..., None]
+        y = sm * y + (1.0 - sm) * params["strided_input_token"][None, None, :]
+        inv_mask = 1.0 - stride_mask.astype(jnp.float32)
+    y = y + params["temporal_pe"]
+
+    if stacked_temporal is None:
+        stacked_temporal = stack_temporal_params(params, model.temporal_depth)
+    y = fused_temporal_stack(
+        y, stacked_temporal, inv_mask, num_blocks=model.temporal_depth,
+        num_heads=model.num_heads,
+        first_masked_blocks=(model.first_strided_token_attention_layer
+                             if model.has_strided_input else 0),
+        precision=temporal_precision, activation="relu", attn_mode="batched")
+
+    tail = model.clone(temporal_input=True)
+    _, central = tail.apply(variables, y, stride_mask=stride_mask,
+                            training=False)
+    return central

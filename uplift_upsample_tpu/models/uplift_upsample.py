@@ -79,6 +79,12 @@ class UpliftUpsampleTransformer(nn.Module):
     # instead of raw keypoints — used to splice in the fused Pallas spatial
     # kernel (ops/pallas_spatial.py) outside the module.
     spatial_input: bool = False
+    # When True, __call__ takes the temporal-stack output (B, N, temporal_d)
+    # and runs only head1 + the strided stack + head2 — used to splice in the
+    # fused Pallas temporal kernel (ops/pallas_temporal.py). Parameter names
+    # are unchanged (flax scoping is per-layer-name), so the same variables
+    # dict works for the full and spliced paths.
+    temporal_input: bool = False
 
     def _dpr(self, stage: int, depth: int):
         rate = self.drop_path_rate
@@ -95,13 +101,16 @@ class UpliftUpsampleTransformer(nn.Module):
         """
         deterministic = not training
         p = self.num_keypoints
-        if self.spatial_input:
+        if self.spatial_input or self.temporal_input:
             b, n, _ = x.shape
         else:
             b, n = x.shape[:2]
             assert n == self.num_frames and x.shape[2] == p
         x = x.astype(self.dtype)
         out_dim = 3 * self.num_keypoints
+        if self.temporal_input:
+            return self._heads_and_strided(x, stride_mask, deterministic, b, n,
+                                           p, out_dim)
 
         # ---- spatial transformer over joints (frame-independent) ----------
         sdtype = self.dtype if self.spatial_dtype is None else self.spatial_dtype
@@ -179,6 +188,15 @@ class UpliftUpsampleTransformer(nn.Module):
                     activation=nn.relu, dtype=self.dtype, use_pallas=self.use_pallas,
                     name=f"temporal_block_{i + 1}",
                 )(x, mask=attn_mask, deterministic=deterministic)
+
+        return self._heads_and_strided(x, stride_mask, deterministic, b, n, p,
+                                       out_dim, inv_stride_mask=inv_stride_mask)
+
+    def _heads_and_strided(self, x, stride_mask, deterministic, b, n, p,
+                           out_dim, inv_stride_mask=None):
+        """head1 + strided stack + head2 (the post-temporal tail)."""
+        if inv_stride_mask is None and self.has_strided_input:
+            inv_stride_mask = 1.0 - stride_mask.astype(jnp.float32)
 
         # ---- head1: full-sequence ("upsampling") output -------------------
         full_output = None

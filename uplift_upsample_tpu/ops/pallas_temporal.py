@@ -270,8 +270,8 @@ def _make_block_kernel_v2(windows_per_tile: int, tokens: int, c: int,
                wp_ref, bp_ref, ln2_g_ref, ln2_b_ref, w1_ref, b1_ref,
                w2_ref, b2_ref, o_ref):
         x = x_ref[:].astype(jnp.float32)  # (wpt*s, c)
-        y = _layer_norm_rows(x, ln1_g_ref[0], ln1_b_ref[0], 1e-5)
-        qkv = dot(y, wqkv_ref[0]) + bqkv_ref[0][None, :]
+        y = _layer_norm_rows(x, ln1_g_ref[:], ln1_b_ref[:], 1e-5)
+        qkv = dot(y, wqkv_ref[:]) + bqkv_ref[:][None, :]
         q = qkv[:, :c] * scale
         k = qkv[:, c:2 * c]
         v = qkv[:, 2 * c:]
@@ -279,38 +279,66 @@ def _make_block_kernel_v2(windows_per_tile: int, tokens: int, c: int,
         # are rejected by pallas_call)
         head_of_lane = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1) // depth
 
-        attn_rows = []
-        for w in range(windows_per_tile):
-            rows = slice(w * s, (w + 1) * s)
-            qw, kw, vw = q[rows], k[rows], v[rows]
-            neg = addmask_ref[w][None, :]  # (1, s) additive, -1e9 on blocked
-            if attn_mode == "none":  # perf bisection: skip attention math
-                attn_rows.append(vw + neg.T * 0.0)
-                continue
-            kt = kw.T
-            ctx = None
-            heads = 1 if attn_mode == "onehead" else num_heads
-            for h in range(heads):
-                mh = (head_of_lane == h).astype(jnp.float32)
-                # Masking q alone selects head h's channels in the contraction
-                logits = dot(qw * mh, kt) + neg
-                m = jnp.max(logits, axis=1, keepdims=True)
+        if attn_mode == "batched":
+            # Window-batched attention: rank-3 dot_generals with the window
+            # dim as a batch dim. Explicit per-window slices + concatenate
+            # measure ~33 µs/step of pure copy overhead on Mosaic (see
+            # PERF_NOTES); reshapes of the leading dim are layout-preserving
+            # and batched dots avoid the copies entirely.
+            q3 = q.reshape(windows_per_tile, s, c)
+            k3 = k.reshape(windows_per_tile, s, c)
+            v3 = v.reshape(windows_per_tile, s, c)
+            neg3 = addmask_ref[:][:, None, :]  # (wpt, 1, s)
+            mh3 = head_of_lane[None]  # (1, 1, c)
+            bprec = (jax.lax.Precision.HIGHEST if precision == HIGH3
+                     else precision)  # HIGH3 matters for the wide C dots only
+            ctx3 = None
+            for h in range(num_heads):
+                mh = (mh3 == h).astype(jnp.float32)
+                logits = jax.lax.dot_general(
+                    q3 * mh, k3, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32, precision=bprec) + neg3
+                m = jnp.max(logits, axis=2, keepdims=True)
                 ex = jnp.exp(logits - m)
-                wgt = ex / jnp.sum(ex, axis=1, keepdims=True)
-                piece = dot(wgt, vw * mh)
-                ctx = piece if ctx is None else ctx + piece
-            attn_rows.append(ctx)
-        attn = jnp.concatenate(attn_rows, axis=0)
+                wgt = ex / jnp.sum(ex, axis=2, keepdims=True)
+                piece = jax.lax.dot_general(
+                    wgt, v3 * mh, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32, precision=bprec)
+                ctx3 = piece if ctx3 is None else ctx3 + piece
+            attn = ctx3.reshape(windows_per_tile * s, c)
+        else:
+            attn_rows = []
+            for w in range(windows_per_tile):
+                rows = slice(w * s, (w + 1) * s)
+                qw, kw, vw = q[rows], k[rows], v[rows]
+                neg = addmask_ref[w][None, :]  # (1, s) additive, -1e9 on blocked
+                if attn_mode == "none":  # perf bisection: skip attention math
+                    attn_rows.append(vw + neg.T * 0.0)
+                    continue
+                kt = kw.T
+                ctx = None
+                heads = 1 if attn_mode == "onehead" else num_heads
+                for h in range(heads):
+                    mh = (head_of_lane == h).astype(jnp.float32)
+                    # Masking q alone selects head h's channels in the contraction
+                    logits = dot(qw * mh, kt) + neg
+                    m = jnp.max(logits, axis=1, keepdims=True)
+                    ex = jnp.exp(logits - m)
+                    wgt = ex / jnp.sum(ex, axis=1, keepdims=True)
+                    piece = dot(wgt, vw * mh)
+                    ctx = piece if ctx is None else ctx + piece
+                attn_rows.append(ctx)
+            attn = jnp.concatenate(attn_rows, axis=0)
 
-        x = x + dot(attn, wp_ref[0]) + bp_ref[0][None, :]
-        z = _layer_norm_rows(x, ln2_g_ref[0], ln2_b_ref[0], 1e-5)
-        z = dot(z, w1_ref[0]) + b1_ref[0][None, :]
+        x = x + dot(attn, wp_ref[:]) + bp_ref[:][None, :]
+        z = _layer_norm_rows(x, ln2_g_ref[:], ln2_b_ref[:], 1e-5)
+        z = dot(z, w1_ref[:]) + b1_ref[:][None, :]
         if activation == "relu":
             z = jnp.maximum(z, 0.0)
         else:  # exact gelu via erf approximation (Mosaic has no erf)
             from .pallas_spatial import _erf
             z = 0.5 * z * (1.0 + _erf(z * np.float32(1.0 / np.sqrt(2.0))))
-        z = dot(z, w2_ref[0]) + b2_ref[0][None, :]
+        z = dot(z, w2_ref[:]) + b2_ref[:][None, :]
         o_ref[:] = (x + z).astype(o_ref.dtype)
 
     return kernel
@@ -367,10 +395,14 @@ def fused_temporal_stack(x: jax.Array, stacked: Dict,
         ]
         args = [out, addmask]
         for name in _STACK_ORDER:
-            arr = stacked[name]
+            # Per-block 2D operands with whole-array BlockSpecs: a stacked
+            # (L, …) operand read as ref[0] in-kernel forces a per-step VMEM
+            # materialization (measured ~30 µs/step — the difference between
+            # 42 ms and ~8 ms for the dense path); slicing at the XLA level
+            # keeps the kernel refs rank-exact and resident.
+            arr = stacked[name][blk]
             in_specs.append(pl.BlockSpec(
-                (1,) + arr.shape[1:],
-                lambda i, b_=blk, n_=arr.ndim: (b_,) + (0,) * (n_ - 1),
+                arr.shape, lambda i, n_=arr.ndim: (0,) * n_,
                 memory_space=pltpu.VMEM))
             args.append(arr)
         out = pl.pallas_call(
