@@ -50,6 +50,92 @@ def build(dtype: str, use_pallas: bool):
     return model, variables
 
 
+def bench_train(args):
+    """Training-step throughput: fwd+bwd+AdamW(+schedules) on h36m_351.
+
+    Uses the same slope method as the eval bench: M steps chained through the
+    carried TrainState inside one jitted lax.scan."""
+    from functools import partial
+
+    from uplift_upsample_tpu.config import UpliftUpsampleConfig
+    from uplift_upsample_tpu.models import (build_uplift_upsample_transformer,
+                                            init_model_params)
+    from uplift_upsample_tpu.parallel import TrainState, make_optimizer
+    from uplift_upsample_tpu.parallel.train_step import make_loss_fn
+    import optax
+
+    config = UpliftUpsampleConfig()
+    config.update_from({
+        "SEQUENCE_LENGTH": 71, "SEQUENCE_STRIDE": 5, "SPATIAL_EMBED_DIM": 32,
+        "TEMPORAL_EMBED_DIM": 384, "SPATIAL_TRANSFORMER_BLOCKS": 4,
+        "TEMPORAL_TRANSFORMER_BLOCKS": 4, "STRIDES": [3, 10, 3],
+        "PADDINGS": [[0, 0], [0, 0], [0, 0]], "NUM_HEADS": 8,
+        "MASK_STRIDE": [5, 10, 20], "FIRST_STRIDED_TOKEN_ATTENTION_LAYER": 1,
+        "DROP_PATH_RATE": [0.1, 0.1, 0.0], "BATCH_SIZE": args.batch,
+        "OPTIMIZER": "AdamW", "OPTIMIZER_PARAMS": {}, "WEIGHT_DECAY": 4e-6,
+        "EMA_ENABLED": False, "SCHEDULE": "ExponentialDecay",
+        "SCHEDULE_PARAMS": {"initial_learning_rate": 4e-5, "decay_steps": 6000,
+                            "decay_rate": 0.99, "staircase": True},
+        "TRAIN_FUSED_SPATIAL": args.train_fused,
+    })
+    model = build_uplift_upsample_transformer(config)
+    params = init_model_params(model, seed=0)["params"]
+    tx, _, _ = make_optimizer(config)
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       ema_params=None, step=jnp.zeros([], jnp.int32))
+    loss_fn = make_loss_fn(model, config)
+
+    b, n, k = args.batch, 71, 17
+    rng = np.random.default_rng(0)
+    batch = tuple(jnp.asarray(a) for a in (
+        rng.normal(size=(b, n, k, 3)).astype(np.float32) * 0.1,
+        rng.normal(size=(b, n, k, 2)).astype(np.float32) * 0.1,
+        np.ones((b, n), np.float32),
+        np.zeros((b, 11), np.float32),
+        np.zeros((b,), np.int32), np.zeros((b,), np.int32),
+        np.zeros((b,), np.int32),
+        (np.arange(n) % 5 == 0)[None].repeat(b, 0),
+    ))
+    base_key = jax.random.PRNGKey(0)
+
+    @partial(jax.jit, static_argnums=2)
+    def loop(state, batch, m):
+        def body(state, _):
+            step_key = jax.random.fold_in(base_key, state.step)
+            rngs = {name: jax.random.fold_in(step_key, i)
+                    for i, name in enumerate(("dropout", "droppath", "token_mask"))}
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rngs)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(params=params, opt_state=opt_state,
+                              ema_params=None, step=state.step + 1), loss
+        state, losses = jax.lax.scan(body, state, None, length=m)
+        return losses[-1]
+
+    def timed(m, reps=3):
+        jax.device_get(loop(state, batch, m))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.device_get(loop(state, batch, m))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    m_small = max(2, args.iters // 8)
+    t_small = timed(m_small)
+    t_large = timed(args.iters)
+    per_step = (t_large - t_small) / (args.iters - m_small)
+    wps = args.batch / per_step
+    print(json.dumps({
+        "metric": "train_windows_per_sec_per_chip_n351",
+        "value": round(wps, 1),
+        "unit": "windows/s",
+        "vs_baseline": round(wps / 5000.0, 3),
+    }))
+    print(f"# train device={jax.devices()[0].device_kind} batch={args.batch} "
+          f"ms/step={per_step * 1e3:.1f} fused={args.train_fused}", file=sys.stderr)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=2048)
@@ -59,8 +145,17 @@ def main():
     parser.add_argument("--pallas", action="store_true")
     parser.add_argument("--no-fused-spatial", dest="fused_spatial", action="store_false",
                         help="disable the fused Pallas spatial-stack kernel")
-    parser.set_defaults(fused_spatial=True)
+    parser.add_argument("--train", action="store_true",
+                        help="measure the full training step (fwd+bwd+AdamW) "
+                             "instead of the eval forward")
+    parser.add_argument("--no-train-fused", dest="train_fused", action="store_false",
+                        help="with --train: disable TRAIN_FUSED_SPATIAL "
+                             "(Pallas fwd+bwd spatial kernels)")
+    parser.set_defaults(fused_spatial=True, train_fused=True)
     args = parser.parse_args()
+
+    if args.train:
+        return bench_train(args)
 
     model, variables = build(args.dtype, args.pallas)
     tail = model.clone(spatial_input=True)

@@ -92,3 +92,43 @@ def test_fused_train_step_with_droppath_smoke():
             state, loss = step(state, batch)
             losses.append(float(loss))
     assert all(np.isfinite(l) for l in losses)
+
+
+def test_pallas_bwd_kernel_vs_xla_vjp():
+    """Direct check of the hand-written backward kernel, droppath active."""
+    from uplift_upsample_tpu.ops.pallas_spatial import (_xla_spatial_stack,
+                                                        stack_spatial_params)
+    from uplift_upsample_tpu.ops.pallas_spatial_bwd import fused_spatial_stack_bwd
+
+    config = _config()
+    model = build_uplift_upsample_transformer(config)
+    params = init_model_params(model, seed=3)["params"]
+    stacked = stack_spatial_params(params, model.spatial_depth)
+
+    rng = np.random.default_rng(7)
+    f = 128
+    x_t = jnp.asarray(rng.normal(size=(17, 2, f)).astype(np.float32) * 0.3)
+    g = jnp.asarray(rng.normal(size=(17, model.spatial_d_model, f))
+                    .astype(np.float32))
+    two_l = 2 * model.spatial_depth
+    keep = (rng.uniform(size=(two_l, f)) > 0.25).astype(np.float32) / 0.75
+    dps = jnp.asarray(keep)
+
+    _, vjp_fn = jax.vjp(
+        lambda s, x, d: _xla_spatial_stack(s, x, d, model.num_heads),
+        stacked, x_t, dps)
+    ds_ref, dx_ref, ddp_ref = vjp_fn(g)
+
+    with pltpu.force_tpu_interpret_mode():
+        ds, dx, ddp = fused_spatial_stack_bwd(
+            x_t, stacked, dps, g, num_blocks=model.spatial_depth,
+            num_heads=model.num_heads)
+
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
+                               atol=2e-4, rtol=1e-3, err_msg="dx")
+    np.testing.assert_allclose(np.asarray(ddp), np.asarray(ddp_ref),
+                               atol=2e-4, rtol=1e-3, err_msg="ddp")
+    for name in ds:
+        np.testing.assert_allclose(np.asarray(ds[name]),
+                                   np.asarray(ds_ref[name]),
+                                   atol=3e-4, rtol=1e-3, err_msg=name)

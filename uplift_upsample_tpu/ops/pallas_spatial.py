@@ -324,10 +324,17 @@ def _xla_spatial_stack(stacked: Dict, x_t: jax.Array, droppath_scales,
     return x.transpose(1, 2, 0)  # (P, C, F)
 
 
+# Backward implementation switch: "pallas" = hand-written backward kernel
+# (ops/pallas_spatial_bwd.py, the fast path), "xla" = differentiate the jnp
+# reference above with the Pallas forward rematerialized (slow; kept as the
+# correctness oracle for tests and as a fallback).
+SPATIAL_BWD_IMPL = "pallas"
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def fused_spatial_train(stacked: Dict, x_t: jax.Array, droppath_scales,
                         num_blocks: int, num_heads: int):
-    """Fused Pallas forward; XLA backward (forward rematerialized).
+    """Fused Pallas forward with a hand-written Pallas backward.
 
     stacked: stack_spatial_params output; x_t: (P, 2, F);
     droppath_scales: (2*num_blocks, F) stochastic-depth scales (0 or
@@ -346,6 +353,15 @@ def _fst_fwd(stacked, x_t, droppath_scales, num_blocks, num_heads):
 
 def _fst_bwd(num_blocks, num_heads, residuals, g):
     stacked, x_t, droppath_scales = residuals
+
+    if SPATIAL_BWD_IMPL == "pallas":
+        from .pallas_spatial_bwd import fused_spatial_stack_bwd
+        dps = droppath_scales
+        if dps is None:
+            dps = jnp.ones((2 * num_blocks, x_t.shape[-1]), jnp.float32)
+        ds, dx, ddp = fused_spatial_stack_bwd(
+            x_t, stacked, dps, g, num_blocks=num_blocks, num_heads=num_heads)
+        return ds, dx, (None if droppath_scales is None else ddp)
 
     def ref(stacked, x_t, dps):
         return _xla_spatial_stack(stacked, x_t, dps, num_heads)
