@@ -64,3 +64,39 @@ def test_fused_temporal_stack_v2_matches_flax(fmb):
                                    windows_per_tile=4)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=3e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("fmb", [0, 1])
+def test_fused_temporal_stack_v3_matches_flax(fmb):
+    """v3 transposed-layout stack kernel vs 2 flax blocks.
+
+    Weights kept f32 in the test: the production bf16 weight cast is a
+    precision choice (equivalent to DEFAULT dots), not a correctness one.
+    """
+    from uplift_upsample_tpu.ops.pallas_temporal import stack_temporal_params
+    from uplift_upsample_tpu.ops.pallas_temporal_v3 import fused_temporal_stack_v3
+
+    b, s, c, heads, blocks = 8, 71, 384, 8, 2
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(b, s, c)).astype(np.float32) * 0.5)
+    key_mask = jnp.asarray(rng.uniform(size=(b, s)) < 0.5)
+
+    params = {}
+    ref = x
+    for i in range(blocks):
+        block = TransformerBlock(dim=c, num_heads=heads, mlp_ratio=2.0,
+                                 qkv_bias=True, activation=jax.nn.relu)
+        variables = block.init(jax.random.PRNGKey(10 + i), ref)
+        params[f"temporal_block_{i + 1}"] = variables["params"]
+        mask4 = (key_mask.astype(jnp.float32)[:, None, None, :]
+                 if i < fmb else None)
+        ref, _ = block.apply(variables, ref, mask=mask4, deterministic=True)
+
+    stacked = stack_temporal_params(params, blocks)
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_temporal_stack_v3(x, stacked, key_mask, num_blocks=blocks,
+                                      num_heads=heads, first_masked_blocks=fmb,
+                                      windows_per_tile=4,
+                                      weights_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)

@@ -111,9 +111,10 @@ def run_variant(name, model, variables, x, sm):
 
     if name.startswith("bench_"):
         # fused spatial + fused temporal tail combinations (current bench path
-        # candidates); suffix = <spatial prec>-<temporal prec>
-        from uplift_upsample_tpu.ops import pallas_spatial, pallas_temporal
-        sp_name, tm_name = name.split("_", 1)[1].split("-")
+        # candidates); suffix = <spatial prec>-<temporal prec>[-v2]
+        parts = name.split("_", 1)[1].split("-")
+        sp_name, tm_name = parts[0], parts[1]
+        impl = parts[2] if len(parts) > 2 else "v3"
         to_prec = {"default": jax.lax.Precision.DEFAULT,
                    "high3": "high3",
                    "highest": jax.lax.Precision.HIGHEST}
@@ -121,7 +122,7 @@ def run_variant(name, model, variables, x, sm):
         return np.asarray(jax.device_get(bench_forward(
             model, variables, x, sm,
             spatial_precision=to_prec[sp_name],
-            temporal_precision=to_prec[tm_name])))
+            temporal_precision=to_prec[tm_name], temporal_impl=impl)))
 
     raise SystemExit(f"unknown variant {name}")
 

@@ -166,6 +166,38 @@ def main():
                                         num_heads=8, windows_per_tile=wpt,
                                         precision=prec, attn_mode=attn_mode)
         sec = device_timer(fn, t_in)
+    elif v.startswith("temporal4_v3"):
+        # temporal4_v3[_wpt<N>][_f32w]
+        _, variables = build()
+        from uplift_upsample_tpu.ops.pallas_temporal import stack_temporal_params
+        from uplift_upsample_tpu.ops.pallas_temporal_v3 import fused_temporal_stack_v3
+        wpt = 4
+        for part in v.split("_"):
+            if part.startswith("wpt"):
+                wpt = int(part[3:])
+        wdtype = jnp.float32 if v.endswith("_f32w") else jnp.bfloat16
+        stacked = stack_temporal_params(variables["params"], 4)
+
+        def fn(t):
+            return fused_temporal_stack_v3(t, stacked, None, num_blocks=4,
+                                           num_heads=8, windows_per_tile=wpt,
+                                           weights_dtype=wdtype)
+        sec = device_timer(fn, t_in)
+    elif v.startswith("bench_fwd"):
+        # End-to-end fused bench path: bench_fwd[_v2][_spdefault|_sphigh3]
+        model, variables = build()
+        from uplift_upsample_tpu.models.bench_forward import bench_forward
+        from uplift_upsample_tpu.ops.pallas_spatial import HIGH3
+        impl = "v2" if "_v2" in v else "v3"
+        sp_prec = HIGH3 if "sphigh3" in v else jax.lax.Precision.DEFAULT
+
+        def fn(x, sm):
+            xm = x * sm[:, :, None, None].astype(x.dtype)
+            return bench_forward(model, variables, xm, sm,
+                                 spatial_precision=sp_prec,
+                                 temporal_precision=jax.lax.Precision.DEFAULT,
+                                 temporal_impl=impl)
+        sec = device_timer(fn, x, sm)
     elif v.startswith("strided_"):
         dtype = "float32" if v.endswith("f32") else "bfloat16"
         model, variables = build(dtype)
@@ -295,6 +327,107 @@ def main():
                     out_shape=jax.ShapeDtypeStruct(flat.shape, jnp.float32),
                 )(*args)
             return out.reshape(b, 72, c)[:, :71]
+        sec = device_timer(fn, t_in)
+    elif v.startswith("pkt_"):
+        # Transposed-layout temporal block skeleton: activations (C, R) with
+        # C=384 on sublanes, R = wpt*72 window-tokens on lanes. Heads are
+        # 8-aligned sublane slices (48 = 6x8); attention is true per-head MXU
+        # dots over all wpt windows at once with a block-diagonal additive
+        # mask; LN stats via MXU (ones-row dots). Weights bf16 (DEFAULT dots
+        # are 1-pass bf16 anyway). Variants: pkt_dense (no attention),
+        # pkt_all[_wpt<N>] (full block).
+        import functools
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        c, hidden, s = 384, 768, 72
+        wpt = 4
+        for part in v.split("_"):
+            if part.startswith("wpt"):
+                wpt = int(part[3:])
+        r = wpt * s
+        with_attn = "dense" not in v
+        nheads, depth = 8, 48
+        scale_q = np.float32(1.0 / np.sqrt(depth))
+
+        rng2 = np.random.default_rng(1)
+        def w16(*shape):
+            return jnp.asarray(rng2.normal(size=shape).astype(np.float32)
+                               * 0.05).astype(jnp.bfloat16)
+        wqkv = w16(3 * c, c)   # row-major out: y = W @ x
+        wp = w16(c, c)
+        w1 = w16(hidden, c)
+        w2 = w16(c, hidden)
+        ones_row = jnp.full((8, c), 1.0 / c, jnp.float32)  # row 0 used
+
+        # Block-diagonal additive mask (R, R): 0 within a window, -1e9 across
+        blkdiag = np.full((r, r), -1e9, np.float32)
+        for w in range(wpt):
+            blkdiag[w * s:(w + 1) * s, w * s:(w + 1) * s] = 0.0
+        blkdiag = jnp.asarray(blkdiag)
+
+        dot = lambda a, b: jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dot_tt = lambda a, b: jax.lax.dot_general(  # contract dim0 (sublanes)
+            a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dot_nt = lambda a, b: jax.lax.dot_general(  # contract dim1 of both
+            a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+        def ln_mxu(x, ones_ref):
+            mu = dot(ones_ref[:1], x)            # (1, R)
+            xc = x - mu                          # broadcast over sublanes
+            var = dot(ones_ref[:1], xc * xc)     # (1, R)
+            return xc / jnp.sqrt(var + 1e-5)
+
+        def kernel(x_ref, mask_ref, wqkv_ref, wp_ref, w1_ref, w2_ref,
+                   ones_ref, o_ref):
+            x = x_ref[:]  # (C, R) f32
+            y = ln_mxu(x, ones_ref)
+            qkv = dot(wqkv_ref[:].astype(jnp.float32), y)  # (3C, R)
+            if with_attn:
+                ctx_parts = []
+                for h in range(nheads):
+                    sl = slice(h * depth, (h + 1) * depth)
+                    qh = qkv[sl] * scale_q          # (48, R)
+                    kh = qkv[c + h * depth: c + (h + 1) * depth]
+                    vh = qkv[2 * c + h * depth: 2 * c + (h + 1) * depth]
+                    logits = dot_tt(qh, kh) + mask_ref[:]   # (R_q, R_k)
+                    m = jnp.max(logits, axis=1, keepdims=True)
+                    ex = jnp.exp(logits - m)
+                    wgt = ex / jnp.sum(ex, axis=1, keepdims=True)
+                    ctx_parts.append(dot_nt(vh, wgt))       # (48, R_q)
+                attn = jnp.concatenate(ctx_parts, axis=0)   # (C, R)
+            else:
+                attn = qkv[2 * c:]
+            x = x + dot(wp_ref[:].astype(jnp.float32), attn)
+            z = ln_mxu(x, ones_ref)
+            z = jnp.maximum(dot(w1_ref[:].astype(jnp.float32), z), 0.0)
+            z = dot(w2_ref[:].astype(jnp.float32), z)
+            o_ref[:] = x + z
+
+        def full(a):
+            return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                memory_space=pltpu.VMEM)
+
+        @jax.jit
+        def fn(t):
+            # (B, 71, c) -> pad to 72 -> transpose to (c, B*72)
+            xt = jnp.pad(t, ((0, 0), (0, 1), (0, 0)))
+            xt = xt.reshape(-1, c).T  # (c, B*72)
+            out = xt
+            for _ in range(4):
+                out = pl.pallas_call(
+                    kernel,
+                    grid=(out.shape[1] // r,),
+                    in_specs=[pl.BlockSpec((c, r), lambda i: (0, i),
+                                           memory_space=pltpu.VMEM),
+                              full(blkdiag), full(wqkv), full(wp),
+                              full(w1), full(w2), full(ones_row)],
+                    out_specs=pl.BlockSpec((c, r), lambda i: (0, i),
+                                           memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct(xt.shape, jnp.float32),
+                )(out, blkdiag, wqkv, wp, w1, w2, ones_row)
+            return out.T.reshape(b, 72, c)[:, :71]
         sec = device_timer(fn, t_in)
     else:
         raise SystemExit(f"unknown variant {v}")

@@ -22,11 +22,13 @@ from .uplift_upsample import UpliftUpsampleTransformer
 
 def bench_forward(model: UpliftUpsampleTransformer, variables, x2d_masked,
                   stride_mask, *, spatial_precision, temporal_precision,
-                  stacked_temporal=None):
+                  stacked_temporal=None, temporal_impl: str = "v3"):
     """Central-frame output of the fused eval path.
 
     x2d_masked: (B, N, 17, 2) already masked at non-keyframes;
     stride_mask: (B, N) with 1/True on frames carrying real input.
+    temporal_impl: "v3" (transposed-layout kernel; temporal_precision
+    selects the weight dtype — DEFAULT→bf16 weights, else f32) or "v2".
     """
     params = variables["params"]
     sp = spatial_stack_apply(params, x2d_masked, num_blocks=model.spatial_depth,
@@ -45,12 +47,22 @@ def bench_forward(model: UpliftUpsampleTransformer, variables, x2d_masked,
 
     if stacked_temporal is None:
         stacked_temporal = stack_temporal_params(params, model.temporal_depth)
-    y = fused_temporal_stack(
-        y, stacked_temporal, inv_mask, num_blocks=model.temporal_depth,
-        num_heads=model.num_heads,
-        first_masked_blocks=(model.first_strided_token_attention_layer
-                             if model.has_strided_input else 0),
-        precision=temporal_precision, activation="relu", attn_mode="batched")
+    fmb = (model.first_strided_token_attention_layer
+           if model.has_strided_input else 0)
+    if temporal_impl == "v3":
+        from ..ops.pallas_temporal_v3 import fused_temporal_stack_v3
+        wdtype = (jnp.bfloat16 if temporal_precision == jax.lax.Precision.DEFAULT
+                  else jnp.float32)
+        y = fused_temporal_stack_v3(
+            y, stacked_temporal, inv_mask, num_blocks=model.temporal_depth,
+            num_heads=model.num_heads, first_masked_blocks=fmb,
+            activation="relu", weights_dtype=wdtype)
+    else:
+        y = fused_temporal_stack(
+            y, stacked_temporal, inv_mask, num_blocks=model.temporal_depth,
+            num_heads=model.num_heads, first_masked_blocks=fmb,
+            precision=temporal_precision, activation="relu",
+            attn_mode="batched")
 
     tail = model.clone(temporal_input=True)
     _, central = tail.apply(variables, y, stride_mask=stride_mask,

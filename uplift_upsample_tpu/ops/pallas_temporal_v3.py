@@ -1,0 +1,208 @@
+"""Fused temporal transformer stack, v3: transposed (channels-on-sublanes) layout.
+
+Why v1/v2 lost to XLA (PERF_NOTES round 1): with activations (rows, C) the
+per-head attention needs 48-wide lane slices of the channel axis, which
+Mosaic can only express as masked full-width dots — 8x the MXU passes and
+pathological codegen. v3 flips the layout:
+
+    activations: (C=384 sublanes, R = wpt·72 window-tokens on lanes)
+
+so a head is a 48-row **sublane** slice (48 = 6×8, always aligned, free),
+and per-head attention is two genuine MXU dots over all wpt windows at once:
+
+    logits_h = q_hᵀ k_h            (R, R), contraction over 48 sublanes
+    ctx_h    = v_h · softmax(…)ᵀ   (48, R), contraction over R_k lanes
+
+with a block-diagonal additive mask confining attention to each window
+(cross-window logits are computed and discarded — at wpt=4 that's 4x FLOPs
+on an op that is ~2% of the block's MXU work). Dense layers are single
+full-width dots (C_out, C) @ (C, R); LayerNorm statistics ride the MXU as
+ones-row dots. Weights are passed in bfloat16: DEFAULT-precision f32 dots
+lower to one bf16 pass anyway, and halving weight VMEM lets all four blocks
+fuse into one kernel (weights stay resident across the grid).
+
+Replaces the reference's temporal stage (4 pre-norm blocks, relu MLP,
+key-mask on masked frames for the first `first_strided_token_attention_layer`
+blocks: uplift_upsample_transformer.py:356-364). Eval path only.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_temporal import stack_temporal_params  # reuse the param stacker
+
+
+def _make_kernel_v3(num_blocks: int, wpt: int, s: int, c: int, hidden: int,
+                    num_heads: int, first_masked_blocks: int,
+                    activation: str):
+    depth = c // num_heads
+    scale_q = np.float32(1.0 / np.sqrt(depth))
+    r = wpt * s
+    inv_c = np.float32(1.0 / c)
+
+    dot = lambda a, b: jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dot_tt = lambda a, b: jax.lax.dot_general(  # contract sublanes (dim 0)
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dot_nt = lambda a, b: jax.lax.dot_general(  # contract lanes (dim 1, both)
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+    def ln(x, ones_row, gamma, beta, eps):
+        # x: (C, R); stats over C via MXU ones-row dots; gamma/beta (C, 1)
+        mu = dot(ones_row, x) * inv_c            # (1, R)
+        xc = x - mu
+        var = dot(ones_row, xc * xc) * inv_c     # (1, R)
+        return xc / jnp.sqrt(var + eps) * gamma + beta
+
+    def kernel(*refs):
+        # refs: x, blkdiag, keyrow, padrow, ones, then 13 per block, then out
+        x_ref, blkdiag_ref, keyrow_ref, padrow_ref, ones_ref = refs[:5]
+        o_ref = refs[-1]
+        x = x_ref[:].astype(jnp.float32)  # (C, R)
+        ones_row = ones_ref[:1]           # (1, C) of ones
+
+        for blk in range(num_blocks):
+            (ln1_g, ln1_b, wqkv, bqkv, wp, bp, ln2_g, ln2_b,
+             w1, b1, w2, b2) = refs[5 + 12 * blk: 5 + 12 * (blk + 1)]
+            y = ln(x, ones_row, ln1_g[:], ln1_b[:], 1e-5)
+            qkv = dot(wqkv[:].astype(jnp.float32), y) + bqkv[:]  # (3C, R)
+
+            if blk < first_masked_blocks:
+                addmask = blkdiag_ref[:] + keyrow_ref[:]  # (R,R) + (1,R)
+            else:
+                addmask = blkdiag_ref[:] + padrow_ref[:]
+            ctx_parts = []
+            for h in range(num_heads):
+                qh = qkv[h * depth:(h + 1) * depth] * scale_q        # (48, R)
+                kh = qkv[c + h * depth: c + (h + 1) * depth]
+                vh = qkv[2 * c + h * depth: 2 * c + (h + 1) * depth]
+                logits = dot_tt(qh, kh) + addmask                    # (R, R)
+                m = jnp.max(logits, axis=1, keepdims=True)
+                ex = jnp.exp(logits - m)
+                wgt = ex / jnp.sum(ex, axis=1, keepdims=True)
+                ctx_parts.append(dot_nt(vh, wgt))                    # (48, R)
+            ctx = jnp.concatenate(ctx_parts, axis=0)                 # (C, R)
+
+            x = x + dot(wp[:].astype(jnp.float32), ctx) + bp[:]
+            z = ln(x, ones_row, ln2_g[:], ln2_b[:], 1e-5)
+            z = dot(w1[:].astype(jnp.float32), z) + b1[:]
+            if activation == "relu":
+                z = jnp.maximum(z, 0.0)
+            else:
+                from .pallas_spatial import _erf
+                z = 0.5 * z * (1.0 + _erf(z * np.float32(1.0 / np.sqrt(2.0))))
+            x = x + dot(w2[:].astype(jnp.float32), z) + b2[:]
+        o_ref[:] = x
+
+    return kernel
+
+
+def _transposed_operands(stacked: Dict, num_blocks: int, weights_dtype):
+    """Per-block kernel operands in the transposed layout.
+
+    stacked: `stack_temporal_params` output (wqkv (L,C,3C) etc., row-major
+    for y @ W). v3 computes W_t @ x, so kernels are transposed here; biases
+    become (n, 1) sublane vectors; LN scales (C, 1).
+    """
+    ops = []
+    for blk in range(num_blocks):
+        col = lambda a: jnp.asarray(a, jnp.float32)[:, None]
+        ops += [
+            col(stacked["ln1_g"][blk]), col(stacked["ln1_b"][blk]),
+            jnp.asarray(stacked["wqkv"][blk]).T.astype(weights_dtype),
+            col(stacked["bqkv"][blk]),
+            jnp.asarray(stacked["wp"][blk]).T.astype(weights_dtype),
+            col(stacked["bp"][blk]),
+            col(stacked["ln2_g"][blk]), col(stacked["ln2_b"][blk]),
+            jnp.asarray(stacked["w1"][blk]).T.astype(weights_dtype),
+            col(stacked["b1"][blk]),
+            jnp.asarray(stacked["w2"][blk]).T.astype(weights_dtype),
+            col(stacked["b2"][blk]),
+        ]
+    return ops
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_blocks", "num_heads", "first_masked_blocks", "windows_per_tile",
+    "activation", "weights_dtype"))
+def fused_temporal_stack_v3(x: jax.Array, stacked: Dict,
+                            key_mask: Optional[jax.Array] = None, *,
+                            num_blocks: int, num_heads: int,
+                            first_masked_blocks: int = 0,
+                            windows_per_tile: int = 4,
+                            activation: str = "relu",
+                            weights_dtype=jnp.bfloat16) -> jax.Array:
+    """x: (B, S, C) → (B, S, C) through the fused transformer stack.
+
+    key_mask: (B, S), 1/True = blocked key, applied to the first
+    `first_masked_blocks` blocks; the S→8-pad token is always blocked.
+    """
+    b, s_in, c = x.shape
+    s = -(-s_in // 8) * 8
+    wpt = windows_per_tile
+    while b % wpt != 0 and wpt > 1:
+        wpt //= 2
+    r = wpt * s
+    hidden = stacked["w1"].shape[2]
+
+    xp = jnp.pad(x, ((0, 0), (0, s - s_in), (0, 0))) if s != s_in else x
+    x_t = xp.reshape(b * s, c).T  # (C, B·S)
+
+    # Block-diagonal window mask (R, R)
+    blkdiag = np.full((r, r), -1e9, np.float32)
+    for w in range(wpt):
+        blkdiag[w * s:(w + 1) * s, w * s:(w + 1) * s] = 0.0
+    blkdiag = jnp.asarray(blkdiag)
+
+    # Pad-token row mask (per tile): -1e9 at lanes t >= s_in within each window
+    pad_row = np.zeros((s,), np.float32)
+    pad_row[s_in:] = -1e9
+    padrow_tile = jnp.asarray(np.tile(pad_row, wpt))[None, :]  # (1, R)
+    n_tiles = (b * s) // r
+
+    if key_mask is not None and first_masked_blocks > 0:
+        km = jnp.pad(key_mask.astype(jnp.float32), ((0, 0), (0, s - s_in)),
+                     constant_values=1.0) * -1e9
+        km = jnp.minimum(km, jnp.asarray(pad_row)[None])  # both masks
+        keyrow = km.reshape(n_tiles, r)
+    else:
+        keyrow = jnp.broadcast_to(padrow_tile, (n_tiles, r))
+        first_masked_blocks = 0
+
+    padrow_full = jnp.broadcast_to(padrow_tile, (n_tiles, r))
+    ones_row = jnp.ones((8, c), jnp.float32)
+
+    kernel = _make_kernel_v3(num_blocks, wpt, s, c, hidden, num_heads,
+                             first_masked_blocks, activation)
+
+    def full(a):
+        return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                            memory_space=pltpu.VMEM)
+
+    block_ops = _transposed_operands(stacked, num_blocks, weights_dtype)
+    in_specs = [
+        pl.BlockSpec((c, r), lambda i: (0, i), memory_space=pltpu.VMEM),
+        full(blkdiag),
+        pl.BlockSpec((1, r), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, r), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        full(ones_row),
+    ] + [full(op) for op in block_ops]
+    args = [x_t, blkdiag, keyrow, padrow_full, ones_row] + block_ops
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((c, r), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, b * s), jnp.float32),
+    )(*args)
+    return out.T.reshape(b, s, c)[:, :s_in]
