@@ -64,7 +64,27 @@ def bench_forward(model: UpliftUpsampleTransformer, variables, x2d_masked,
             precision=temporal_precision, activation="relu",
             attn_mode="batched")
 
-    tail = model.clone(temporal_input=True)
+    # Fused first strided block (the dominant one: attention over all N
+    # frames) when the geometry allows; blocks 2+ and head2 stay in XLA.
+    fuse_strided = (len(model.strides) > 0 and model.temporal_depth > 0
+                    and model.paddings is not None
+                    and tuple(model.paddings[0]) == (0, 0)
+                    and temporal_impl == "v3")
+    if fuse_strided:
+        from ..ops.pallas_strided import (fused_strided_block1,
+                                          stack_strided_block1_params)
+        wdtype = (jnp.bfloat16 if temporal_precision == jax.lax.Precision.DEFAULT
+                  else jnp.float32)
+        ops = stack_strided_block1_params(params, model.num_frames,
+                                          weights_dtype=wdtype)
+        out = fused_strided_block1(y, ops, num_heads=model.num_heads,
+                                   weights_dtype=wdtype)
+        s0 = model.strides[0]
+        n_out = (model.num_frames - 3) // s0 + 1
+        y = out[:, : (n_out - 1) * s0 + 1: s0]
+        tail = model.clone(temporal_input=True, strided_entry=1)
+    else:
+        tail = model.clone(temporal_input=True)
     _, central = tail.apply(variables, y, stride_mask=stride_mask,
                             training=False)
     return central

@@ -85,6 +85,11 @@ class UpliftUpsampleTransformer(nn.Module):
     # are unchanged (flax scoping is per-layer-name), so the same variables
     # dict works for the full and spliced paths.
     temporal_input: bool = False
+    # With temporal_input: number of leading strided blocks already applied
+    # externally (fused kernel, ops/pallas_strided.py). x is then the input of
+    # strided block strided_entry+1 and head1 is skipped (its input, the
+    # temporal-stack output, is not available at this splice point).
+    strided_entry: int = 0
 
     def _dpr(self, stage: int, depth: int):
         rate = self.drop_path_rate
@@ -200,7 +205,7 @@ class UpliftUpsampleTransformer(nn.Module):
 
         # ---- head1: full-sequence ("upsampling") output -------------------
         full_output = None
-        if self.full_output and self.temporal_depth > 0:
+        if self.full_output and self.temporal_depth > 0 and self.strided_entry == 0:
             h = x
             if self.output_bn:
                 h = nn.BatchNorm(use_running_average=deterministic, momentum=0.1,
@@ -214,6 +219,8 @@ class UpliftUpsampleTransformer(nn.Module):
             seq_lengths = strided_sequence_lengths(self.num_frames, self.strides, self.paddings)
             dpr = self._dpr(2, len(self.strides))
             for i, s in enumerate(self.strides):
+                if i < self.strided_entry:
+                    continue  # applied externally (fused strided kernel)
                 attn_mask = None
                 if (self.temporal_depth == 0 and self.has_strided_input
                         and i < self.first_strided_token_attention_layer):

@@ -1,0 +1,203 @@
+"""Fused first strided-transformer block (transposed layout, eval path).
+
+The strided stack (reference uplift_upsample_transformer.py:93-160: pre-norm
+attention + StridedMLP with a k=3 strided conv, max-pool(1)/crop residual) is
+dominated by its FIRST block, which attends over the full N=71 window; blocks
+2-3 run on 23 and 3 tokens and stay in XLA.
+
+Same layout as ops/pallas_temporal_v3.py: channels on sublanes, wpt windows x
+72 padded tokens on lanes. The per-block positional encoding is added
+in-kernel (tiled (C, R) operand). The strided conv becomes three full-width
+dots with lane shifts; the residual is the input shifted by one lane (the
+pad==0 crop). Both produce values at *every* position u; cross-window bleed
+and the conv's tail positions only land at lanes the caller never selects
+(valid outputs are u = s*t <= L-3). The caller applies the stride-s lane
+selection in XLA:
+
+    x_next[:, t] = out[:, w*72 + s*t],  out[:, u] = x[:, u+1] + conv(h)[:, u]
+
+Supports kernel_size=3, padding=(0,0) (the shipped h36m/amass configs);
+other geometries fall back to the XLA model path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def stack_strided_block1_params(params: Dict, num_frames: int,
+                                weights_dtype=jnp.bfloat16,
+                                name: str = "strided_temporal_block_1",
+                                pe_name: str = "strided_temporal_pe_1"):
+    """Kernel operands for the first strided block, transposed layout."""
+    blk = params[name]
+    c = np.asarray(blk["attn"]["wq"]["kernel"]).shape[0]
+    hidden = np.asarray(blk["mlp"]["fc1"]["kernel"]).shape[1]
+
+    def col(a):
+        return jnp.asarray(a, jnp.float32)[:, None]
+
+    def bias_col(p, key, n):
+        b = p.get(key, {}).get("bias")
+        return (jnp.zeros((n, 1), jnp.float32) if b is None
+                else jnp.asarray(b, jnp.float32)[:, None])
+
+    wqkv = jnp.concatenate(
+        [jnp.asarray(blk["attn"][w]["kernel"], jnp.float32).T
+         for w in ("wq", "wk", "wv")], axis=0)  # (3C, C)
+    bqkv = jnp.concatenate(
+        [bias_col(blk["attn"], w, c) for w in ("wq", "wk", "wv")], axis=0)
+    conv_k = jnp.asarray(blk["mlp"]["fc2"]["kernel"], jnp.float32)  # (3, hidden, C)
+
+    s_pad = -(-num_frames // 8) * 8
+    pe = jnp.asarray(params[pe_name], jnp.float32)  # (N, C)
+    pe_pad = jnp.pad(pe, ((0, s_pad - num_frames), (0, 0))).T  # (C, s_pad)
+
+    return dict(
+        ln1_g=col(blk["norm1"]["scale"]), ln1_b=col(blk["norm1"]["bias"]),
+        wqkv=wqkv.astype(weights_dtype), bqkv=bqkv,
+        wp=jnp.asarray(blk["attn"]["proj"]["kernel"], jnp.float32)
+            .T.astype(weights_dtype),
+        bp=bias_col(blk["attn"], "proj", c),
+        ln2_g=col(blk["norm2"]["scale"]), ln2_b=col(blk["norm2"]["bias"]),
+        w1=jnp.asarray(blk["mlp"]["fc1"]["kernel"], jnp.float32)
+            .T.astype(weights_dtype),
+        b1=bias_col(blk["mlp"], "fc1", hidden),
+        wc0=conv_k[0].T.astype(weights_dtype),
+        wc1=conv_k[1].T.astype(weights_dtype),
+        wc2=conv_k[2].T.astype(weights_dtype),
+        bc=bias_col(blk["mlp"], "fc2", c),
+        pe=pe_pad,
+    )
+
+
+_OP_ORDER = ["ln1_g", "ln1_b", "wqkv", "bqkv", "wp", "bp", "ln2_g", "ln2_b",
+             "w1", "b1", "wc0", "wc1", "wc2", "bc", "pe"]
+
+
+def _make_kernel(wpt: int, s: int, c: int, num_heads: int, activation: str):
+    depth = c // num_heads
+    scale_q = np.float32(1.0 / np.sqrt(depth))
+    r = wpt * s
+    inv_c = np.float32(1.0 / c)
+
+    dot = lambda a, b: jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dot_tt = lambda a, b: jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dot_nt = lambda a, b: jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+    def ln(x, ones_row, gamma, beta, eps):
+        mu = dot(ones_row, x) * inv_c
+        xc = x - mu
+        var = dot(ones_row, xc * xc) * inv_c
+        return xc / jnp.sqrt(var + eps) * gamma + beta
+
+    def shl(a, j):  # shift lanes left by j, zero-fill the tail
+        if j == 0:
+            return a
+        return jnp.concatenate([a[:, j:], jnp.zeros((a.shape[0], j),
+                                                    a.dtype)], axis=1)
+
+    def kernel(x_ref, blkdiag_ref, padrow_ref, ones_ref,
+               ln1_g, ln1_b, wqkv, bqkv, wp, bp, ln2_g, ln2_b,
+               w1, b1, wc0, wc1, wc2, bc, pe, o_ref):
+        ones_row = ones_ref[:1]
+        # PE is (C, s) per window; tile over the wpt windows via lane iota
+        x = x_ref[:].astype(jnp.float32) + pe_tiled(pe)
+
+        y = ln(x, ones_row, ln1_g[:], ln1_b[:], 1e-5)
+        qkv = dot(wqkv[:].astype(jnp.float32), y) + bqkv[:]
+        addmask = blkdiag_ref[:] + padrow_ref[:]
+        ctx_parts = []
+        for h in range(num_heads):
+            qh = qkv[h * depth:(h + 1) * depth] * scale_q
+            kh = qkv[c + h * depth: c + (h + 1) * depth]
+            vh = qkv[2 * c + h * depth: 2 * c + (h + 1) * depth]
+            logits = dot_tt(qh, kh) + addmask
+            m = jnp.max(logits, axis=1, keepdims=True)
+            ex = jnp.exp(logits - m)
+            wgt = ex / jnp.sum(ex, axis=1, keepdims=True)
+            ctx_parts.append(dot_nt(vh, wgt))
+        ctx = jnp.concatenate(ctx_parts, axis=0)
+
+        x = x + dot(wp[:].astype(jnp.float32), ctx) + bp[:]
+        z = ln(x, ones_row, ln2_g[:], ln2_b[:], 1e-5)
+        h1 = dot(w1[:].astype(jnp.float32), z) + b1[:]
+        if activation == "relu":
+            h1 = jnp.maximum(h1, 0.0)
+        else:
+            from .pallas_spatial import _erf
+            h1 = 0.5 * h1 * (1.0 + _erf(h1 * np.float32(1.0 / np.sqrt(2.0))))
+        conv = dot(wc0[:].astype(jnp.float32), h1)
+        conv += shl(dot(wc1[:].astype(jnp.float32), h1), 1)
+        conv += shl(dot(wc2[:].astype(jnp.float32), h1), 2)
+        # out[:, u] = x[:, u+1] + conv[:, u] + bias; valid at u = stride*t
+        o_ref[:] = shl(x, 1) + conv + bc[:]
+
+    def pe_tiled(pe_ref):
+        # (C, s) -> (C, R) by repeating along lanes; built from concatenation
+        # (wpt is small and static)
+        pe = pe_ref[:].astype(jnp.float32)
+        return jnp.concatenate([pe] * wpt, axis=1)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "windows_per_tile",
+                                             "activation", "weights_dtype"))
+def fused_strided_block1(x: jax.Array, operands: Dict, *, num_heads: int,
+                         windows_per_tile: int = 4, activation: str = "relu",
+                         weights_dtype=jnp.bfloat16) -> jax.Array:
+    """x: (B, N, C) → (B, N_pad, C) pre-selection output of strided block 1.
+
+    Caller selects `out[:, ::stride_eff]` over the first N-2 positions, i.e.
+    x_next[:, t] = out[:, stride*t] for t < floor((N-3)/stride)+1.
+    """
+    b, s_in, c = x.shape
+    s = -(-s_in // 8) * 8
+    wpt = windows_per_tile
+    while b % wpt != 0 and wpt > 1:
+        wpt //= 2
+    r = wpt * s
+
+    xp = jnp.pad(x, ((0, 0), (0, s - s_in), (0, 0))) if s != s_in else x
+    x_t = xp.reshape(b * s, c).T  # (C, B·S)
+
+    blkdiag = np.full((r, r), -1e9, np.float32)
+    for w in range(wpt):
+        blkdiag[w * s:(w + 1) * s, w * s:(w + 1) * s] = 0.0
+    blkdiag = jnp.asarray(blkdiag)
+    pad_row = np.zeros((s,), np.float32)
+    pad_row[s_in:] = -1e9
+    padrow = jnp.asarray(np.tile(pad_row, wpt))[None, :]
+    ones_row = jnp.ones((8, c), jnp.float32)
+
+    kernel = _make_kernel(wpt, s, c, num_heads, activation)
+
+    def full(a):
+        return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                            memory_space=pltpu.VMEM)
+
+    ops = [operands[name] for name in _OP_ORDER]
+    in_specs = [pl.BlockSpec((c, r), lambda i: (0, i), memory_space=pltpu.VMEM),
+                full(blkdiag), full(padrow), full(ones_row)]
+    in_specs += [full(op) for op in ops]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=((b * s) // r,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((c, r), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, b * s), jnp.float32),
+    )(x_t, blkdiag, padrow, ones_row, *ops)
+    return out.T.reshape(b, s, c)
