@@ -245,8 +245,8 @@ def _make_bwd_kernel(num_blocks: int, p_tokens: int, c: int, hidden: int,
 
         # ---- final spatial_norm backward -----------------------------------
         xhat_n, inv_n = _ln_stats(ckpts[num_blocks], 1e-6)
-        dnorm_g_ref[:] = jnp.sum(g * xhat_n, axis=(0, 2))[None, :]
-        dnorm_b_ref[:] = bias_grad(g)
+        dnorm_g_ref[0] = jnp.sum(g * xhat_n, axis=(0, 2))[None, :]
+        dnorm_b_ref[0] = bias_grad(g)
         d = _ln_bwd(g, xhat_n, inv_n, norm_g_ref[:].reshape(c, 1))
 
         # ---- block backward, reverse order ---------------------------------
@@ -316,9 +316,9 @@ def _make_bwd_kernel(num_blocks: int, p_tokens: int, c: int, hidden: int,
             d = dx2 + _ln_bwd(dy, xhat1, inv1, g1)
 
         # ---- embedding + PE backward ---------------------------------------
-        dpe_ref[:] = jnp.sum(d, axis=2)
-        demb_w_ref[:] = dense_dw(x_in, d)  # (2, C)
-        demb_b_ref[:] = bias_grad(d)
+        dpe_ref[0] = jnp.sum(d, axis=2)
+        demb_w_ref[0] = dense_dw(x_in, d)  # (2, C)
+        demb_b_ref[0] = bias_grad(d)
         dx_ref[:] = dense_dx(d, emb_w_ref[:])  # (P, 2, bt)
 
     return kernel
@@ -368,17 +368,20 @@ def fused_spatial_stack_bwd(x_t: jax.Array, stacked: Dict,
     args += [jnp.asarray(stacked[name], jnp.float32) for name in _PARAM_ORDER]
 
     # Gradient outputs: dx/ddp tiled over the grid; param grads as per-tile
-    # partials (leading grid axis) summed afterwards.
+    # partials on a dedicated leading grid axis (block (1, …) whose trailing
+    # two dims equal the array's — the Mosaic block-shape rule), summed
+    # afterwards. Vector grads get a singleton dim so the trailing-2 rule
+    # sees (1, c) == the array dims.
     grad_shapes = dict(
         emb_w=(2, c), emb_b=(1, c), pe=(p_tokens, c),
-        ln1_g=(1, num_blocks, c), ln1_b=(1, num_blocks, c),
-        wq=(1, num_blocks, c, c), bq=(1, num_blocks, c),
-        wk=(1, num_blocks, c, c), bk=(1, num_blocks, c),
-        wv=(1, num_blocks, c, c), bv=(1, num_blocks, c),
-        wp=(1, num_blocks, c, c), bp=(1, num_blocks, c),
-        ln2_g=(1, num_blocks, c), ln2_b=(1, num_blocks, c),
-        w1=(1, num_blocks, c, hidden), b1=(1, num_blocks, hidden),
-        w2=(1, num_blocks, hidden, c), b2=(1, num_blocks, c),
+        ln1_g=(num_blocks, c), ln1_b=(num_blocks, c),
+        wq=(num_blocks, c, c), bq=(num_blocks, c),
+        wk=(num_blocks, c, c), bk=(num_blocks, c),
+        wv=(num_blocks, c, c), bv=(num_blocks, c),
+        wp=(num_blocks, c, c), bp=(num_blocks, c),
+        ln2_g=(num_blocks, c), ln2_b=(num_blocks, c),
+        w1=(num_blocks, c, hidden), b1=(num_blocks, hidden),
+        w2=(num_blocks, hidden, c), b2=(num_blocks, c),
         norm_g=(1, c), norm_b=(1, c),
     )
 
@@ -394,12 +397,11 @@ def fused_spatial_stack_bwd(x_t: jax.Array, stacked: Dict,
     ]
     for name in _PARAM_ORDER:
         shape = grad_shapes[name]
-        nd = len(shape)
+        nd = 1 + len(shape)
         out_specs.append(pl.BlockSpec(
-            shape, lambda i, nd_=nd: (i,) + (0,) * (nd_ - 1),
+            (1,) + shape, lambda i, nd_=nd: (i,) + (0,) * (nd_ - 1),
             memory_space=pltpu.VMEM))
-        out_shapes.append(jax.ShapeDtypeStruct((n_tiles * shape[0],) + shape[1:],
-                                               jnp.float32))
+        out_shapes.append(jax.ShapeDtypeStruct((n_tiles,) + shape, jnp.float32))
 
     outs = pl.pallas_call(
         kernel,
@@ -412,8 +414,6 @@ def fused_spatial_stack_bwd(x_t: jax.Array, stacked: Dict,
     dx_t, ddp = outs[0], outs[1]
     dstacked = {}
     for name, partial in zip(_PARAM_ORDER, outs[2:]):
-        lead = grad_shapes[name][0]
-        summed = partial.reshape((n_tiles, lead) + partial.shape[1:])
-        summed = jnp.sum(summed, axis=0)
+        summed = jnp.sum(partial, axis=0)
         dstacked[name] = summed.reshape(jnp.shape(stacked[name]))
     return dstacked, dx_t, ddp
