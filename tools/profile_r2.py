@@ -87,13 +87,19 @@ def main():
             return central
         sec = device_timer(fn, x, sm)
     elif v.startswith("spatial_"):
+        # spatial_default | spatial_high3, optional _bf<block_f> suffix
         _, variables = build()
         from uplift_upsample_tpu.ops.pallas_spatial import HIGH3, spatial_stack_apply
-        prec = jax.lax.Precision.DEFAULT if v.endswith("default") else HIGH3
+        prec = HIGH3 if "high3" in v else jax.lax.Precision.DEFAULT
+        block_f = 128
+        for part in v.split("_"):
+            if part.startswith("bf") and part[2:].isdigit():
+                block_f = int(part[2:])
 
         def fn(x):
             return spatial_stack_apply(variables["params"], x, num_blocks=4,
-                                       num_heads=8, precision=prec)
+                                       num_heads=8, precision=prec,
+                                       block_f=block_f)
         sec = device_timer(fn, x)
     elif v.startswith("tail_"):
         model, variables = build("float32" if v == "tail_f32" else "bfloat16")
