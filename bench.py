@@ -158,31 +158,20 @@ def main():
         return bench_train(args)
 
     model, variables = build(args.dtype, args.pallas)
-    tail = model.clone(spatial_input=True)
 
-    def apply_model(variables, xm, sm):
-        if args.fused_spatial and model.spatial_depth > 0:
-            from uplift_upsample_tpu.ops.pallas_spatial import spatial_stack_apply
-            # DEFAULT-precision dots: apples-to-apples with the XLA
-            # baseline (which also runs TPU default matmul precision);
-            # parity-grade eval uses HIGHEST (see ops/pallas_spatial.py)
-            sp = spatial_stack_apply(variables["params"], xm,
-                                     num_blocks=model.spatial_depth,
-                                     num_heads=model.num_heads,
-                                     precision=jax.lax.Precision.DEFAULT)
-            return tail.apply(variables, sp, stride_mask=sm, training=False)
-        return model.apply(variables, xm, stride_mask=sm, training=False)
+    # THE eval configuration: bench.py and eval.py share make_test_step, so
+    # the benchmarked path IS the parity path (fused="full": HIGH3 spatial
+    # dots + bf16-weight fused temporal/strided kernels; see PERF_NOTES.md).
+    from uplift_upsample_tpu.data.keypoint_order import H36MOrder17P
+    from uplift_upsample_tpu.eval import make_test_step
+    test_step = make_test_step(
+        model, variables, flip_tta=args.flip_tta,
+        flip_lr_indices=H36MOrder17P.flip_lr_indices(),
+        fused="full" if args.fused_spatial else "none")
 
     def forward(variables, x, sm):
-        xm = x * sm[:, :, None, None].astype(x.dtype)
-        full, central = apply_model(variables, xm, sm)
-        if args.flip_tta:
-            from uplift_upsample_tpu.data.keypoint_order import H36MOrder17P
-            fi = jnp.asarray(H36MOrder17P.flip_lr_indices())
-            xf = jnp.concatenate([-xm[..., :1], xm[..., 1:]], axis=-1)[:, :, fi]
-            _, cf = apply_model(variables, xf, sm)
-            central = (central + jnp.concatenate(
-                [-cf[..., :1], cf[..., 1:]], axis=-1)[:, fi]) / 2
+        del variables  # bound inside test_step
+        _, central = test_step(x, sm)
         return central
 
     # Measurement notes for this environment: the PJRT relay makes

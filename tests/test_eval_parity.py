@@ -45,3 +45,40 @@ def test_eval_parity(mask_stride):
             np.testing.assert_allclose(
                 frame_results[metric], ref_value, atol=5e-2, rtol=1e-4,
                 err_msg=f"{section}/{metric} (mask_stride={mask_stride})")
+
+
+def test_eval_parity_fused_full():
+    """The benchmark configuration (EVAL_FUSED=full) through the eval harness.
+
+    Runs the fused Pallas path in interpreter mode on the small fixture;
+    guards that the bench and parity configurations are one and the same
+    (the fused path must reproduce the reference metrics too).
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    ref_path = os.path.join(FIXTURE_DIR, "eval_parity.json")
+    if not os.path.exists(ref_path):
+        pytest.skip("run tools/make_eval_fixture.py")
+    with open(ref_path) as f:
+        ref = json.load(f)["5"]
+
+    config = UpliftUpsampleConfig(
+        config_file=os.path.join(FIXTURE_DIR, "eval_small_config.json"))
+    config.MASK_STRIDE = 5
+    config.EVAL_FUSED = "full"
+
+    with pltpu.force_tpu_interpret_mode():
+        all_frames, keyframes = run_eval(
+            config=config, dataset_name="h36m",
+            dataset_path=os.path.join(SYNTH_DIR, "data_3d_h36m.npz"),
+            dataset2d_path=os.path.join(SYNTH_DIR, "data_2d_h36m_synth.npz"),
+            test_subset="test",
+            weights_path=os.path.join(FIXTURE_DIR, "small_strided.h5"),
+            action_wise=True, verbose=False)
+
+    for section, mine in (("all_frames", all_frames), ("keyframes", keyframes)):
+        frame_results = mine[0]
+        for metric, ref_value in ref[section]["frame"].items():
+            np.testing.assert_allclose(
+                frame_results[metric], ref_value, atol=5e-2, rtol=1e-4,
+                err_msg=f"fused-full {section}/{metric}")

@@ -208,5 +208,9 @@ class UpliftUpsampleConfig(Config):
     # runs f32 dots as 1-pass bf16; "highest" restores f32 for strict
     # checkpoint parity at ~3x GEMM cost.
     EVAL_MATMUL_PRECISION = "default"
+    # Eval compute path ("auto" | "full" | "spatial" | "none"): "full" runs
+    # the fused Pallas spatial+temporal+strided kernels (the benchmark
+    # configuration); "auto" picks "full" on accelerators, XLA on CPU.
+    EVAL_FUSED = "auto"
     # Data-parallel devices to use (-1: all visible devices).
     DATA_PARALLEL_DEVICES = -1

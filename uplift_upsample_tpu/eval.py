@@ -39,18 +39,47 @@ def log(*args):
 
 
 def make_test_step(model, variables, flip_tta: bool, flip_lr_indices,
-                   fused_spatial: bool = False, strict_precision: bool = False):
+                   fused_spatial: bool = False, strict_precision: bool = False,
+                   fused: str = None):
     """Jitted forward step with optional fused flip-TTA.
 
-    `fused_spatial` routes the spatial stage through the fused Pallas kernel
-    (ops/pallas_spatial.py) with the rest of the model spliced behind it.
+    `fused` selects the eval compute path — THE one configuration shared by
+    eval.py and bench.py (see PERF_NOTES.md for the measured drift/cost
+    table):
+      - "full": fused Pallas spatial stack (HIGH3 dots; HIGHEST when
+        `strict_precision`) + fused transposed-layout temporal stack +
+        fused first strided block (ops/pallas_{spatial,temporal_v3,strided}),
+        XLA for the small remainder. Central prediction only.
+      - "spatial": fused spatial kernel + XLA tail (legacy fused_spatial).
+      - "none": pure XLA model.apply.
+    `fused_spatial` is the legacy boolean for "spatial".
 
     Returns fn(keypoints2d (B,N,K,2) unmasked, stride_mask (B,N) bool)
     → (pred_sequence (B,N,K,3) | None, pred_central (B,K,3)).
     """
     flip_idx = jnp.asarray(np.asarray(flip_lr_indices, dtype=np.int32))
+    if fused is None:
+        fused = "spatial" if fused_spatial else "none"
 
-    if fused_spatial and model.spatial_depth > 0:
+    if (fused == "full" and model.spatial_depth > 0
+            and model.temporal_depth > 0):
+        from .models.bench_forward import bench_forward
+        from .ops.pallas_spatial import HIGH3
+        from .ops.pallas_temporal import stack_temporal_params
+        sp_prec = (jax.lax.Precision.HIGHEST if strict_precision else HIGH3)
+        tm_prec = (jax.lax.Precision.HIGHEST if strict_precision
+                   else jax.lax.Precision.DEFAULT)
+        stacked = stack_temporal_params(variables["params"], model.temporal_depth)
+
+        def forward(keypoints2d, stride_mask):
+            x = keypoints2d
+            if model.has_strided_input:
+                x = x * stride_mask[:, :, None, None].astype(x.dtype)
+            central = bench_forward(
+                model, variables, x, stride_mask, spatial_precision=sp_prec,
+                temporal_precision=tm_prec, stacked_temporal=stacked)
+            return None, central
+    elif fused in ("full", "spatial") and model.spatial_depth > 0:
         from .ops.pallas_spatial import HIGH3, spatial_stack_apply
         tail = model.clone(spatial_input=True)
         kernel_precision = (jax.lax.Precision.HIGHEST
@@ -132,10 +161,20 @@ def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d
     num_examples = len(generator)
     log(f"Sequences: {num_examples}")
 
+    fused_mode = getattr(config, "EVAL_FUSED", "auto")
+    if fused_mode == "auto":
+        # Fused Pallas kernels on real accelerators; plain XLA on CPU (where
+        # Pallas only has the slow interpreter and XLA f32 is already exact).
+        if jax.devices()[0].platform == "cpu":
+            fused_mode = ("spatial"
+                          if getattr(config, "USE_PALLAS_SPATIAL", False)
+                          else "none")
+        else:
+            fused_mode = "full"
     test_step = make_test_step(
         model, variables, flip_tta=config.EVAL_FLIP,
         flip_lr_indices=config.AUGM_FLIP_KEYPOINT_ORDER,
-        fused_spatial=bool(getattr(config, "USE_PALLAS_SPATIAL", False)),
+        fused=fused_mode,
         strict_precision=(getattr(config, "EVAL_MATMUL_PRECISION", "default")
                           == "highest"))
 

@@ -51,12 +51,11 @@ def bench_forward(model: UpliftUpsampleTransformer, variables, x2d_masked,
            if model.has_strided_input else 0)
     if temporal_impl == "v3":
         from ..ops.pallas_temporal_v3 import fused_temporal_stack_v3
-        wdtype = (jnp.bfloat16 if temporal_precision == jax.lax.Precision.DEFAULT
-                  else jnp.float32)
         y = fused_temporal_stack_v3(
             y, stacked_temporal, inv_mask, num_blocks=model.temporal_depth,
             num_heads=model.num_heads, first_masked_blocks=fmb,
-            activation="relu", weights_dtype=wdtype)
+            activation="relu", weights_dtype=jnp.float32,
+            precision=temporal_precision)
     else:
         y = fused_temporal_stack(
             y, stacked_temporal, inv_mask, num_blocks=model.temporal_depth,
@@ -73,12 +72,11 @@ def bench_forward(model: UpliftUpsampleTransformer, variables, x2d_masked,
     if fuse_strided:
         from ..ops.pallas_strided import (fused_strided_block1,
                                           stack_strided_block1_params)
-        wdtype = (jnp.bfloat16 if temporal_precision == jax.lax.Precision.DEFAULT
-                  else jnp.float32)
         ops = stack_strided_block1_params(params, model.num_frames,
-                                          weights_dtype=wdtype)
+                                          weights_dtype=jnp.float32)
         out = fused_strided_block1(y, ops, num_heads=model.num_heads,
-                                   weights_dtype=wdtype)
+                                   weights_dtype=jnp.float32,
+                                   precision=temporal_precision)
         s0 = model.strides[0]
         n_out = (model.num_frames - 3) // s0 + 1
         y = out[:, : (n_out - 1) * s0 + 1: s0]

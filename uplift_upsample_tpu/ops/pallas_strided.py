@@ -82,18 +82,22 @@ _OP_ORDER = ["ln1_g", "ln1_b", "wqkv", "bqkv", "wp", "bp", "ln2_g", "ln2_b",
              "w1", "b1", "wc0", "wc1", "wc2", "bc", "pe"]
 
 
-def _make_kernel(wpt: int, s: int, c: int, num_heads: int, activation: str):
+def _make_kernel(wpt: int, s: int, c: int, num_heads: int, activation: str,
+                 precision=jax.lax.Precision.DEFAULT):
     depth = c // num_heads
     scale_q = np.float32(1.0 / np.sqrt(depth))
     r = wpt * s
     inv_c = np.float32(1.0 / c)
 
     dot = lambda a, b: jax.lax.dot_general(
-        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=precision)
     dot_tt = lambda a, b: jax.lax.dot_general(
-        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=precision)
     dot_nt = lambda a, b: jax.lax.dot_general(
-        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=precision)
 
     def ln(x, ones_row, gamma, beta, eps):
         mu = dot(ones_row, x) * inv_c
@@ -153,10 +157,12 @@ def _make_kernel(wpt: int, s: int, c: int, num_heads: int, activation: str):
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "windows_per_tile",
-                                             "activation", "weights_dtype"))
+                                             "activation", "weights_dtype",
+                                             "precision"))
 def fused_strided_block1(x: jax.Array, operands: Dict, *, num_heads: int,
                          windows_per_tile: int = 4, activation: str = "relu",
-                         weights_dtype=jnp.bfloat16) -> jax.Array:
+                         weights_dtype=jnp.float32,
+                         precision=jax.lax.Precision.DEFAULT) -> jax.Array:
     """x: (B, N, C) → (B, N_pad, C) pre-selection output of strided block 1.
 
     Caller selects `out[:, ::stride_eff]` over the first N-2 positions, i.e.
@@ -181,7 +187,7 @@ def fused_strided_block1(x: jax.Array, operands: Dict, *, num_heads: int,
     padrow = jnp.asarray(np.tile(pad_row, wpt))[None, :]
     ones_row = jnp.ones((8, c), jnp.float32)
 
-    kernel = _make_kernel(wpt, s, c, num_heads, activation)
+    kernel = _make_kernel(wpt, s, c, num_heads, activation, precision)
 
     def full(a):
         return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,

@@ -42,18 +42,21 @@ from .pallas_temporal import stack_temporal_params  # reuse the param stacker
 
 def _make_kernel_v3(num_blocks: int, wpt: int, s: int, c: int, hidden: int,
                     num_heads: int, first_masked_blocks: int,
-                    activation: str):
+                    activation: str, precision=jax.lax.Precision.DEFAULT):
     depth = c // num_heads
     scale_q = np.float32(1.0 / np.sqrt(depth))
     r = wpt * s
     inv_c = np.float32(1.0 / c)
 
     dot = lambda a, b: jax.lax.dot_general(
-        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=precision)
     dot_tt = lambda a, b: jax.lax.dot_general(  # contract sublanes (dim 0)
-        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=precision)
     dot_nt = lambda a, b: jax.lax.dot_general(  # contract lanes (dim 1, both)
-        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=precision)
 
     def ln(x, ones_row, gamma, beta, eps):
         # x: (C, R); stats over C via MXU ones-row dots; gamma/beta (C, 1)
@@ -132,18 +135,26 @@ def _transposed_operands(stacked: Dict, num_blocks: int, weights_dtype):
 
 @functools.partial(jax.jit, static_argnames=(
     "num_blocks", "num_heads", "first_masked_blocks", "windows_per_tile",
-    "activation", "weights_dtype"))
+    "activation", "weights_dtype", "precision"))
 def fused_temporal_stack_v3(x: jax.Array, stacked: Dict,
                             key_mask: Optional[jax.Array] = None, *,
                             num_blocks: int, num_heads: int,
                             first_masked_blocks: int = 0,
                             windows_per_tile: int = 4,
                             activation: str = "relu",
-                            weights_dtype=jnp.bfloat16) -> jax.Array:
+                            weights_dtype=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT) -> jax.Array:
     """x: (B, S, C) → (B, S, C) through the fused transformer stack.
 
     key_mask: (B, S), 1/True = blocked key, applied to the first
     `first_masked_blocks` blocks; the S→8-pad token is always blocked.
+
+    weights_dtype f32 with DEFAULT dots is the parity-default: on TPU the MXU
+    rounds f32 DEFAULT dots to 1-pass bf16 anyway (same arithmetic as bf16
+    weights) while CPU/interpret stays exact f32. bf16 weights halve weight
+    VMEM so more blocks fit per kernel (one fewer HBM round-trip); HIGHEST
+    restores full f32 dots for strict checkpoint parity. Blocks are chunked
+    into groups whose resident weights fit VMEM.
     """
     b, s_in, c = x.shape
     s = -(-s_in // 8) * 8
@@ -180,29 +191,39 @@ def fused_temporal_stack_v3(x: jax.Array, stacked: Dict,
     padrow_full = jnp.broadcast_to(padrow_tile, (n_tiles, r))
     ones_row = jnp.ones((8, c), jnp.float32)
 
-    kernel = _make_kernel_v3(num_blocks, wpt, s, c, hidden, num_heads,
-                             first_masked_blocks, activation)
-
     def full(a):
         return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                             memory_space=pltpu.VMEM)
 
-    block_ops = _transposed_operands(stacked, num_blocks, weights_dtype)
-    in_specs = [
-        pl.BlockSpec((c, r), lambda i: (0, i), memory_space=pltpu.VMEM),
-        full(blkdiag),
-        pl.BlockSpec((1, r), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, r), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        full(ones_row),
-    ] + [full(op) for op in block_ops]
-    args = [x_t, blkdiag, keyrow, padrow_full, ones_row] + block_ops
+    # Weight VMEM per block ≈ (3C² + C² + 2·C·hidden) · itemsize; keep the
+    # resident group under ~10 MB so activations + logits still fit.
+    itemsize = jnp.dtype(weights_dtype).itemsize
+    per_block = (3 * c * c + c * c + 2 * c * hidden) * itemsize
+    group = max(1, min(num_blocks, int(10e6 // max(per_block, 1))))
 
-    out = pl.pallas_call(
-        kernel,
-        grid=(n_tiles,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((c, r), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((c, b * s), jnp.float32),
-    )(*args)
+    block_ops = _transposed_operands(stacked, num_blocks, weights_dtype)
+    out = x_t
+    done = 0
+    while done < num_blocks:
+        n_grp = min(group, num_blocks - done)
+        fmb_grp = max(0, min(n_grp, first_masked_blocks - done))
+        kernel = _make_kernel_v3(n_grp, wpt, s, c, hidden, num_heads,
+                                 fmb_grp, activation, precision)
+        grp_ops = block_ops[12 * done: 12 * (done + n_grp)]
+        in_specs = [
+            pl.BlockSpec((c, r), lambda i: (0, i), memory_space=pltpu.VMEM),
+            full(blkdiag),
+            pl.BlockSpec((1, r), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            full(ones_row),
+        ] + [full(op) for op in grp_ops]
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((c, r), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((c, b * s), jnp.float32),
+        )(out, blkdiag, keyrow, padrow_full, ones_row, *grp_ops)
+        done += n_grp
     return out.T.reshape(b, s, c)[:, :s_in]
