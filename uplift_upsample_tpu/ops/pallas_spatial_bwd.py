@@ -409,6 +409,9 @@ def fused_spatial_stack_bwd(x_t: jax.Array, stacked: Dict,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
+        # The replay+backward working set peaks ~17 MB with the default
+        # 16 MB scoped-vmem budget; raise the cap (v5e VMEM accommodates it).
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
     )(*args)
 
     dx_t, ddp = outs[0], outs[1]

@@ -114,13 +114,15 @@ def _make_kernel(wpt: int, s: int, c: int, num_heads: int, activation: str,
     def kernel(x_ref, blkdiag_ref, padrow_ref, ones_ref,
                ln1_g, ln1_b, wqkv, bqkv, wp, bp, ln2_g, ln2_b,
                w1, b1, wc0, wc1, wc2, bc, pe, o_ref):
+        # Grid-tiled refs are 3D (tile, C, R), block (1, C, R): R is not
+        # 128-divisible so blocks must equal the array's trailing dims.
         ones_row = ones_ref[:1]
-        # PE is (C, s) per window; tile over the wpt windows via lane iota
-        x = x_ref[:].astype(jnp.float32) + pe_tiled(pe)
+        # PE is (C, s) per window, tiled over the wpt windows
+        x = x_ref[0].astype(jnp.float32) + pe_tiled(pe)
 
         y = ln(x, ones_row, ln1_g[:], ln1_b[:], 1e-5)
         qkv = dot(wqkv[:].astype(jnp.float32), y) + bqkv[:]
-        addmask = blkdiag_ref[:] + padrow_ref[:]
+        addmask = blkdiag_ref[:] + padrow_ref[0]
         ctx_parts = []
         for h in range(num_heads):
             qh = qkv[h * depth:(h + 1) * depth] * scale_q
@@ -145,7 +147,7 @@ def _make_kernel(wpt: int, s: int, c: int, num_heads: int, activation: str,
         conv += shl(dot(wc1[:].astype(jnp.float32), h1), 1)
         conv += shl(dot(wc2[:].astype(jnp.float32), h1), 2)
         # out[:, u] = x[:, u+1] + conv[:, u] + bias; valid at u = stride*t
-        o_ref[:] = shl(x, 1) + conv + bc[:]
+        o_ref[0] = shl(x, 1) + conv + bc[:]
 
     def pe_tiled(pe_ref):
         # (C, s) -> (C, R) by repeating along lanes; built from concatenation
@@ -176,7 +178,8 @@ def fused_strided_block1(x: jax.Array, operands: Dict, *, num_heads: int,
     r = wpt * s
 
     xp = jnp.pad(x, ((0, 0), (0, s - s_in), (0, 0))) if s != s_in else x
-    x_t = xp.reshape(b * s, c).T  # (C, B·S)
+    n_tiles = (b * s) // r
+    x_t = xp.reshape(n_tiles, r, c).transpose(0, 2, 1)  # (tile, C, R)
 
     blkdiag = np.full((r, r), -1e9, np.float32)
     for w in range(wpt):
@@ -184,7 +187,8 @@ def fused_strided_block1(x: jax.Array, operands: Dict, *, num_heads: int,
     blkdiag = jnp.asarray(blkdiag)
     pad_row = np.zeros((s,), np.float32)
     pad_row[s_in:] = -1e9
-    padrow = jnp.asarray(np.tile(pad_row, wpt))[None, :]
+    padrow = jnp.broadcast_to(jnp.asarray(np.tile(pad_row, wpt))[None, :],
+                              (n_tiles, 1, r))
     ones_row = jnp.ones((8, c), jnp.float32)
 
     kernel = _make_kernel(wpt, s, c, num_heads, activation, precision)
@@ -194,16 +198,20 @@ def fused_strided_block1(x: jax.Array, operands: Dict, *, num_heads: int,
                             memory_space=pltpu.VMEM)
 
     ops = [operands[name] for name in _OP_ORDER]
-    in_specs = [pl.BlockSpec((c, r), lambda i: (0, i), memory_space=pltpu.VMEM),
-                full(blkdiag), full(padrow), full(ones_row)]
+    in_specs = [pl.BlockSpec((1, c, r), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                full(blkdiag),
+                pl.BlockSpec((1, 1, r), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                full(ones_row)]
     in_specs += [full(op) for op in ops]
 
     out = pl.pallas_call(
         kernel,
-        grid=((b * s) // r,),
+        grid=(n_tiles,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((c, r), lambda i: (0, i),
+        out_specs=pl.BlockSpec((1, c, r), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((c, b * s), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, c, r), jnp.float32),
     )(x_t, blkdiag, padrow, ones_row, *ops)
-    return out.T.reshape(b, s, c)
+    return out.transpose(0, 2, 1).reshape(b, s, c)

@@ -66,10 +66,13 @@ def _make_kernel_v3(num_blocks: int, wpt: int, s: int, c: int, hidden: int,
         return xc / jnp.sqrt(var + eps) * gamma + beta
 
     def kernel(*refs):
-        # refs: x, blkdiag, keyrow, padrow, ones, then 13 per block, then out
+        # refs: x, blkdiag, keyrow, padrow, ones, then 12 per block, then out
+        # Grid-tiled operands are 3D (tile, C, R) with block (1, C, R): R is
+        # not 128-divisible, so blocks must EQUAL the array's trailing dims
+        # (the Mosaic block-shape rule); the leading axis is the grid.
         x_ref, blkdiag_ref, keyrow_ref, padrow_ref, ones_ref = refs[:5]
         o_ref = refs[-1]
-        x = x_ref[:].astype(jnp.float32)  # (C, R)
+        x = x_ref[0].astype(jnp.float32)  # (C, R)
         ones_row = ones_ref[:1]           # (1, C) of ones
 
         for blk in range(num_blocks):
@@ -79,9 +82,9 @@ def _make_kernel_v3(num_blocks: int, wpt: int, s: int, c: int, hidden: int,
             qkv = dot(wqkv[:].astype(jnp.float32), y) + bqkv[:]  # (3C, R)
 
             if blk < first_masked_blocks:
-                addmask = blkdiag_ref[:] + keyrow_ref[:]  # (R,R) + (1,R)
+                addmask = blkdiag_ref[:] + keyrow_ref[0]  # (R,R) + (1,R)
             else:
-                addmask = blkdiag_ref[:] + padrow_ref[:]
+                addmask = blkdiag_ref[:] + padrow_ref[0]
             ctx_parts = []
             for h in range(num_heads):
                 qh = qkv[h * depth:(h + 1) * depth] * scale_q        # (48, R)
@@ -103,7 +106,7 @@ def _make_kernel_v3(num_blocks: int, wpt: int, s: int, c: int, hidden: int,
                 from .pallas_spatial import _erf
                 z = 0.5 * z * (1.0 + _erf(z * np.float32(1.0 / np.sqrt(2.0))))
             x = x + dot(w2[:].astype(jnp.float32), z) + b2[:]
-        o_ref[:] = x
+        o_ref[0] = x
 
     return kernel
 
@@ -165,7 +168,10 @@ def fused_temporal_stack_v3(x: jax.Array, stacked: Dict,
     hidden = stacked["w1"].shape[2]
 
     xp = jnp.pad(x, ((0, 0), (0, s - s_in), (0, 0))) if s != s_in else x
-    x_t = xp.reshape(b * s, c).T  # (C, B·S)
+    n_tiles_ = (b * s) // (wpt * s)
+    # (tile, C, R): per-tile transposed layout; 3D so the grid block (1,C,R)
+    # equals the array's trailing dims (R is not 128-divisible)
+    x_t = xp.reshape(n_tiles_, wpt * s, c).transpose(0, 2, 1)
 
     # Block-diagonal window mask (R, R)
     blkdiag = np.full((r, r), -1e9, np.float32)
@@ -183,12 +189,12 @@ def fused_temporal_stack_v3(x: jax.Array, stacked: Dict,
         km = jnp.pad(key_mask.astype(jnp.float32), ((0, 0), (0, s - s_in)),
                      constant_values=1.0) * -1e9
         km = jnp.minimum(km, jnp.asarray(pad_row)[None])  # both masks
-        keyrow = km.reshape(n_tiles, r)
+        keyrow = km.reshape(n_tiles, 1, r)
     else:
-        keyrow = jnp.broadcast_to(padrow_tile, (n_tiles, r))
+        keyrow = jnp.broadcast_to(padrow_tile, (n_tiles, 1, r))
         first_masked_blocks = 0
 
-    padrow_full = jnp.broadcast_to(padrow_tile, (n_tiles, r))
+    padrow_full = jnp.broadcast_to(padrow_tile, (n_tiles, 1, r))
     ones_row = jnp.ones((8, c), jnp.float32)
 
     def full(a):
@@ -211,19 +217,22 @@ def fused_temporal_stack_v3(x: jax.Array, stacked: Dict,
                                  fmb_grp, activation, precision)
         grp_ops = block_ops[12 * done: 12 * (done + n_grp)]
         in_specs = [
-            pl.BlockSpec((c, r), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, r), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             full(blkdiag),
-            pl.BlockSpec((1, r), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, r), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, r), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             full(ones_row),
         ] + [full(op) for op in grp_ops]
         out = pl.pallas_call(
             kernel,
             grid=(n_tiles,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((c, r), lambda i: (0, i),
+            out_specs=pl.BlockSpec((1, c, r), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((c, b * s), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((n_tiles, c, r), jnp.float32),
         )(out, blkdiag, keyrow, padrow_full, ones_row, *grp_ops)
         done += n_grp
-    return out.T.reshape(b, s, c)[:, :s_in]
+    return out.transpose(0, 2, 1).reshape(b, s, c)[:, :s_in]
