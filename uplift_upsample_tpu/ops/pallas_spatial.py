@@ -96,11 +96,92 @@ def _dense_per_joint(x, w_t, bias, p_tokens, precision):
     return jnp.stack(rows, axis=0)
 
 
+def _dense_per_joint_t(x, w_t, bias, p_tokens, num_heads, depth, precision):
+    """Per-joint dots emitted in head-major T-layout (H, D, P, bt).
+
+    Identical MXU work to `_dense_per_joint`; only the stacking differs —
+    each joint's (C_out, bt) result is viewed as (H, D, bt) (a free
+    leading-dim split) and joints stack on axis 2.
+    """
+    if precision == HIGH3:
+        w_hi = w_t.astype(jnp.bfloat16).astype(jnp.float32)
+        w_lo = w_t - w_hi
+
+        def dot(xp):
+            x_hi = xp.astype(jnp.bfloat16).astype(jnp.float32)
+            x_lo = xp - x_hi
+            dims = (((1,), (0,)), ((), ()))
+            y = jax.lax.dot_general(w_hi, x_hi, dims,
+                                    preferred_element_type=jnp.float32)
+            y += jax.lax.dot_general(w_hi, x_lo, dims,
+                                     preferred_element_type=jnp.float32)
+            y += jax.lax.dot_general(w_lo, x_hi, dims,
+                                     preferred_element_type=jnp.float32)
+            return y
+    else:
+        def dot(xp):
+            return jax.lax.dot_general(w_t, xp, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32,
+                                       precision=precision)
+
+    bt = x.shape[-1]
+    rows = []
+    for p in range(p_tokens):
+        y = dot(x[p])
+        if bias is not None:
+            y = y + bias
+        rows.append(y.reshape(num_heads, depth, bt))
+    return jnp.stack(rows, axis=2)  # (H, D, P, bt)
+
+
 def _make_kernel(num_blocks: int, p_tokens: int, c: int, hidden: int,
                  num_heads: int, mlp_gelu: bool, precision,
-                 have_droppath: bool = False):
+                 have_droppath: bool = False, attn: str = "batched"):
     depth = c // num_heads
     scale = 1.0 / float(depth) ** 0.5
+
+    def attention_fma(q, k, v):
+        # Original per-head FMA loops: q/k/v (P, C, bt)
+        ctx_heads = []
+        for h in range(num_heads):
+            sl = slice(h * depth, (h + 1) * depth)
+            logits = None
+            for d in range(depth):
+                e = h * depth + d
+                qd = q[:, e, :][:, None, :]   # (P, 1, bt)
+                kd = k[:, e, :][None, :, :]   # (1, P, bt)
+                contrib = qd * kd
+                logits = contrib if logits is None else logits + contrib
+            logits = logits * scale
+            m = jnp.max(logits, axis=1, keepdims=True)
+            ex = jnp.exp(logits - m)
+            w = ex / jnp.sum(ex, axis=1, keepdims=True)  # (P, P, bt)
+            ctx_h = None
+            for kk in range(p_tokens):
+                piece = w[:, kk, :][:, None, :] * v[kk, sl, :][None, :, :]
+                ctx_h = piece if ctx_h is None else ctx_h + piece  # (P, depth, bt)
+            ctx_heads.append(ctx_h)
+        return jnp.concatenate(ctx_heads, axis=1)  # (P, C, bt)
+
+    def attention_batched(qT, kT, vT):
+        # Head-batched 4D FMAs: q/k/v in T-layout (H, D, P, bt). 21 vector
+        # ops instead of ~170: logits for ALL heads via `depth` rank-4 FMAs
+        # (head/depth slices are free leading-dim indexing), one batched
+        # softmax, ctx via `P` rank-4 FMAs.
+        logits = None
+        for d in range(depth):
+            piece = qT[:, d][:, :, None, :] * kT[:, d][:, None, :, :]
+            logits = piece if logits is None else logits + piece
+        logits = logits * scale                      # (H, P_q, P_k, bt)
+        m = jnp.max(logits, axis=2, keepdims=True)
+        ex = jnp.exp(logits - m)
+        w = ex / jnp.sum(ex, axis=2, keepdims=True)
+        ctxT = None
+        for kk in range(p_tokens):
+            piece = (w[:, :, kk, :][:, None, :, :]     # (H, 1, P_q, bt)
+                     * vT[:, :, kk, :][:, :, None, :])  # (H, D, 1, bt)
+            ctxT = piece if ctxT is None else ctxT + piece  # (H, D, P_q, bt)
+        return ctxT
 
     def kernel(x_ref, emb_w_ref, emb_b_ref, pe_ref,
                ln1_g_ref, ln1_b_ref, wq_ref, bq_ref, wk_ref, bk_ref,
@@ -121,32 +202,22 @@ def _make_kernel(num_blocks: int, p_tokens: int, c: int, hidden: int,
             b1_ = ln1_b_ref[blk].reshape(c, 1)
             y = _layer_norm(x, g1, b1_, 1e-5)
 
-            q = _dense_per_joint(y, wq_ref[blk].T, bq_ref[blk].reshape(c, 1), p_tokens, precision)
-            k = _dense_per_joint(y, wk_ref[blk].T, bk_ref[blk].reshape(c, 1), p_tokens, precision)
-            v = _dense_per_joint(y, wv_ref[blk].T, bv_ref[blk].reshape(c, 1), p_tokens, precision)
-
-            # Attention: per head, logits/softmax on (17, 17, bt); context
-            # accumulated as per-key outer products on (17, depth, bt)
-            ctx_heads = []
-            for h in range(num_heads):
-                sl = slice(h * depth, (h + 1) * depth)
-                logits = None
-                for d in range(depth):
-                    e = h * depth + d
-                    qd = q[:, e, :][:, None, :]   # (P, 1, bt)
-                    kd = k[:, e, :][None, :, :]   # (1, P, bt)
-                    contrib = qd * kd
-                    logits = contrib if logits is None else logits + contrib
-                logits = logits * scale
-                m = jnp.max(logits, axis=1, keepdims=True)
-                ex = jnp.exp(logits - m)
-                w = ex / jnp.sum(ex, axis=1, keepdims=True)  # (P, P, bt)
-                ctx_h = None
-                for kk in range(p_tokens):
-                    piece = w[:, kk, :][:, None, :] * v[kk, sl, :][None, :, :]
-                    ctx_h = piece if ctx_h is None else ctx_h + piece  # (P, depth, bt)
-                ctx_heads.append(ctx_h)
-            ctx = jnp.concatenate(ctx_heads, axis=1)  # (P, C, bt)
+            if attn == "batched":
+                qT = _dense_per_joint_t(y, wq_ref[blk].T, bq_ref[blk].reshape(c, 1),
+                                        p_tokens, num_heads, depth, precision)
+                kT = _dense_per_joint_t(y, wk_ref[blk].T, bk_ref[blk].reshape(c, 1),
+                                        p_tokens, num_heads, depth, precision)
+                vT = _dense_per_joint_t(y, wv_ref[blk].T, bv_ref[blk].reshape(c, 1),
+                                        p_tokens, num_heads, depth, precision)
+                ctxT = attention_batched(qT, kT, vT)  # (H, D, P, bt)
+                # Per-joint (C, bt) views are free leading-dim merges
+                ctx = jnp.stack([ctxT[:, :, p_, :].reshape(c, -1)
+                                 for p_ in range(p_tokens)], axis=0)
+            else:
+                q = _dense_per_joint(y, wq_ref[blk].T, bq_ref[blk].reshape(c, 1), p_tokens, precision)
+                k = _dense_per_joint(y, wk_ref[blk].T, bk_ref[blk].reshape(c, 1), p_tokens, precision)
+                v = _dense_per_joint(y, wv_ref[blk].T, bv_ref[blk].reshape(c, 1), p_tokens, precision)
+                ctx = attention_fma(q, k, v)  # (P, C, bt)
 
             proj = _dense_per_joint(ctx, wp_ref[blk].T, bp_ref[blk].reshape(c, 1),
                                     p_tokens, precision)
@@ -200,12 +271,12 @@ def stack_spatial_params(params: Dict, num_blocks: int):
 
 
 @functools.partial(jax.jit, static_argnames=("num_blocks", "num_heads", "mlp_gelu",
-                                             "block_f", "precision"))
+                                             "block_f", "precision", "attn"))
 def fused_spatial_stack(x_t: jax.Array, stacked: Dict, *, num_blocks: int,
                         num_heads: int, mlp_gelu: bool = True,
                         block_f: int = 128,
                         precision=jax.lax.Precision.HIGHEST,
-                        droppath_scales=None) -> jax.Array:
+                        droppath_scales=None, attn: str = "batched") -> jax.Array:
     """x_t: (P, 2, F) transposed input → (P, C, F) spatial-stack output."""
     p_tokens, c_in, f = x_t.shape
     c = stacked["emb_w"].shape[1]
@@ -214,7 +285,8 @@ def fused_spatial_stack(x_t: jax.Array, stacked: Dict, *, num_blocks: int,
     assert block_f % 128 == 0 and f % block_f == 0, (f, block_f)
 
     kernel = _make_kernel(num_blocks, p_tokens, c, hidden, num_heads, mlp_gelu,
-                          precision, have_droppath=droppath_scales is not None)
+                          precision, have_droppath=droppath_scales is not None,
+                          attn=attn)
 
     def full(shape):
         nd = len(shape)
