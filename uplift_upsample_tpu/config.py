@@ -204,10 +204,11 @@ class UpliftUpsampleConfig(Config):
     # Fused Pallas spatial forward in training (custom VJP; backward runs the
     # XLA-equivalent function). Requires DROP_RATE == 0 and TOKEN_MASK_RATE == 0.
     TRAIN_FUSED_SPATIAL = False
-    # Matmul precision for eval ("default" | "high" | "highest"): TPU default
-    # runs f32 dots as 1-pass bf16; "highest" restores f32 for strict
-    # checkpoint parity at ~3x GEMM cost.
-    EVAL_MATMUL_PRECISION = "default"
+    # Matmul precision for eval ("default" | "high" | "highest"): TPU
+    # "default" runs f32 dots as 1-pass bf16 (~0.8% relative output drift —
+    # throughput mode); "high" = bf16x3 (~1e-5 relative, holds the 0.1 mm
+    # MPJPE parity bar, the default); "highest" = full f32.
+    EVAL_MATMUL_PRECISION = "high"
     # Eval compute path ("auto" | "full" | "spatial" | "none"): "full" runs
     # the fused Pallas spatial+temporal+strided kernels (the benchmark
     # configuration); "auto" picks "full" on accelerators, XLA on CPU.

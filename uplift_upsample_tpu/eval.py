@@ -40,7 +40,7 @@ def log(*args):
 
 def make_test_step(model, variables, flip_tta: bool, flip_lr_indices,
                    fused_spatial: bool = False, strict_precision: bool = False,
-                   fused: str = None):
+                   fused: str = None, precision: str = None):
     """Jitted forward step with optional fused flip-TTA.
 
     `fused` selects the eval compute path — THE one configuration shared by
@@ -61,14 +61,23 @@ def make_test_step(model, variables, flip_tta: bool, flip_lr_indices,
     if fused is None:
         fused = "spatial" if fused_spatial else "none"
 
+    if precision is None:
+        precision = "highest" if strict_precision else "high"
+
     if (fused == "full" and model.spatial_depth > 0
             and model.temporal_depth > 0):
         from .models.bench_forward import bench_forward
         from .ops.pallas_spatial import HIGH3
         from .ops.pallas_temporal import stack_temporal_params
-        sp_prec = (jax.lax.Precision.HIGHEST if strict_precision else HIGH3)
-        tm_prec = (jax.lax.Precision.HIGHEST if strict_precision
-                   else jax.lax.Precision.DEFAULT)
+        # Precision ladder (measured in tools/check_tpu_parity.py, documented
+        # in PERF_NOTES.md): "default" = 1-pass-bf16 dots (fast; ~0.8%
+        # relative drift vs f32 — fine for throughput work, not for reporting
+        # MPJPE); "high" = bf16x3 dots everywhere (~1e-5 relative, holds the
+        # 0.1 mm parity bar with margin); "highest" = full f32.
+        sp_prec = {"default": HIGH3, "high": HIGH3,
+                   "highest": jax.lax.Precision.HIGHEST}[precision]
+        tm_prec = {"default": jax.lax.Precision.DEFAULT, "high": HIGH3,
+                   "highest": jax.lax.Precision.HIGHEST}[precision]
         stacked = stack_temporal_params(variables["params"], model.temporal_depth)
 
         def forward(keypoints2d, stride_mask):
@@ -105,6 +114,12 @@ def make_test_step(model, variables, flip_tta: bool, flip_lr_indices,
             return model.apply(variables, x, training=False)
 
     def step(keypoints2d, stride_mask):
+        # Bind the XLA remainder (s2t dense, late strided blocks, heads) to
+        # the same precision rung as the fused kernels
+        with jax.default_matmul_precision(precision):
+            return _step_inner(keypoints2d, stride_mask)
+
+    def _step_inner(keypoints2d, stride_mask):
         pred_seq, pred_central = forward(keypoints2d, stride_mask)
         if flip_tta:
             flipped_in = jnp.concatenate(
@@ -175,8 +190,7 @@ def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d
         model, variables, flip_tta=config.EVAL_FLIP,
         flip_lr_indices=config.AUGM_FLIP_KEYPOINT_ORDER,
         fused=fused_mode,
-        strict_precision=(getattr(config, "EVAL_MATMUL_PRECISION", "default")
-                          == "highest"))
+        precision=getattr(config, "EVAL_MATMUL_PRECISION", "high") or "high")
 
     log(f"Running evaluation on '{test_subset}' with {num_examples} examples")
     start = time.time()

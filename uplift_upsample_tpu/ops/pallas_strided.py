@@ -89,15 +89,10 @@ def _make_kernel(wpt: int, s: int, c: int, num_heads: int, activation: str,
     r = wpt * s
     inv_c = np.float32(1.0 / c)
 
-    dot = lambda a, b: jax.lax.dot_general(
-        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=precision)
-    dot_tt = lambda a, b: jax.lax.dot_general(
-        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=precision)
-    dot_nt = lambda a, b: jax.lax.dot_general(
-        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=precision)
+    from .pallas_temporal_v3 import _dot_maker
+    dot = _dot_maker((((1,), (0,)), ((), ())), precision)
+    dot_tt = _dot_maker((((0,), (0,)), ((), ())), precision)
+    dot_nt = _dot_maker((((1,), (1,)), ((), ())), precision)
 
     def ln(x, ones_row, gamma, beta, eps):
         mu = dot(ones_row, x) * inv_c

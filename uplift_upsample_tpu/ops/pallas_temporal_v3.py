@@ -40,6 +40,33 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_temporal import stack_temporal_params  # reuse the param stacker
 
 
+HIGH3 = "high3"  # manual bf16x3 dots (Mosaic has no Precision.HIGH)
+
+
+def _dot_maker(dims, precision):
+    """dot_general factory for the given dims; HIGH3 = 3-pass bf16 hi/lo."""
+    if precision == HIGH3:
+        def dot(a, b):
+            a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+            a_lo = a - a_hi
+            b_hi = b.astype(jnp.bfloat16).astype(jnp.float32)
+            b_lo = b - b_hi
+            y = jax.lax.dot_general(a_hi, b_hi, dims,
+                                    preferred_element_type=jnp.float32)
+            y += jax.lax.dot_general(a_hi, b_lo, dims,
+                                     preferred_element_type=jnp.float32)
+            y += jax.lax.dot_general(a_lo, b_hi, dims,
+                                     preferred_element_type=jnp.float32)
+            return y
+        return dot
+
+    def dot(a, b):
+        return jax.lax.dot_general(a, b, dims,
+                                   preferred_element_type=jnp.float32,
+                                   precision=precision)
+    return dot
+
+
 def _make_kernel_v3(num_blocks: int, wpt: int, s: int, c: int, hidden: int,
                     num_heads: int, first_masked_blocks: int,
                     activation: str, precision=jax.lax.Precision.DEFAULT):
@@ -48,15 +75,9 @@ def _make_kernel_v3(num_blocks: int, wpt: int, s: int, c: int, hidden: int,
     r = wpt * s
     inv_c = np.float32(1.0 / c)
 
-    dot = lambda a, b: jax.lax.dot_general(
-        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=precision)
-    dot_tt = lambda a, b: jax.lax.dot_general(  # contract sublanes (dim 0)
-        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=precision)
-    dot_nt = lambda a, b: jax.lax.dot_general(  # contract lanes (dim 1, both)
-        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=precision)
+    dot = _dot_maker((((1,), (0,)), ((), ())), precision)
+    dot_tt = _dot_maker((((0,), (0,)), ((), ())), precision)  # contract sublanes
+    dot_nt = _dot_maker((((1,), (1,)), ((), ())), precision)  # contract lanes
 
     def ln(x, ones_row, gamma, beta, eps):
         # x: (C, R); stats over C via MXU ones-row dots; gamma/beta (C, 1)
