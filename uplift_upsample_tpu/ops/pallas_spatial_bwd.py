@@ -171,8 +171,9 @@ def _make_bwd_kernel(num_blocks: int, p_tokens: int, c: int, hidden: int,
             acc = piece if acc is None else acc + piece
         return acc
 
-    def bias_grad_t(dyT):  # (H, D, P, bt) -> (1, C)
-        return jnp.sum(dyT, axis=(2, 3)).reshape(1, -1)
+    def bias_grad_t(dyT):  # (H, D, P, bt) -> (C,)
+        # Mosaic can't reduce both trailing dims at once; go one at a time
+        return jnp.sum(jnp.sum(dyT, axis=3), axis=2).reshape(-1)
 
     def dense_dw_xt(xT, dy):  # x in T-layout, dy (P, C_out, bt)
         acc = None
@@ -335,11 +336,11 @@ def _make_bwd_kernel(num_blocks: int, p_tokens: int, c: int, hidden: int,
             dctxT = dense_dx_to_t(dproj, wp_ref[blk])
             dqT, dkT, dvT = attention_bwd_t(qT, kT, vT, dctxT)
             dwq_ref[0, blk] = dense_dw_t(y, dqT)
-            dbq_ref[0, blk] = jnp.sum(dqT, axis=(2, 3)).reshape(-1)
+            dbq_ref[0, blk] = bias_grad_t(dqT)
             dwk_ref[0, blk] = dense_dw_t(y, dkT)
-            dbk_ref[0, blk] = jnp.sum(dkT, axis=(2, 3)).reshape(-1)
+            dbk_ref[0, blk] = bias_grad_t(dkT)
             dwv_ref[0, blk] = dense_dw_t(y, dvT)
-            dbv_ref[0, blk] = jnp.sum(dvT, axis=(2, 3)).reshape(-1)
+            dbv_ref[0, blk] = bias_grad_t(dvT)
             dy = (dense_dx_from_t(dqT, wq_ref[blk])
                   + dense_dx_from_t(dkT, wk_ref[blk])
                   + dense_dx_from_t(dvT, wv_ref[blk]))
