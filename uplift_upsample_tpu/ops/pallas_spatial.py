@@ -136,7 +136,7 @@ def _dense_per_joint_t(x, w_t, bias, p_tokens, num_heads, depth, precision):
 
 def _make_kernel(num_blocks: int, p_tokens: int, c: int, hidden: int,
                  num_heads: int, mlp_gelu: bool, precision,
-                 have_droppath: bool = False, attn: str = "batched"):
+                 have_droppath: bool = False, attn: str = "fma"):
     depth = c // num_heads
     scale = 1.0 / float(depth) ** 0.5
 
@@ -276,7 +276,7 @@ def fused_spatial_stack(x_t: jax.Array, stacked: Dict, *, num_blocks: int,
                         num_heads: int, mlp_gelu: bool = True,
                         block_f: int = 128,
                         precision=jax.lax.Precision.HIGHEST,
-                        droppath_scales=None, attn: str = "batched") -> jax.Array:
+                        droppath_scales=None, attn: str = "fma") -> jax.Array:
     """x_t: (P, 2, F) transposed input → (P, C, F) spatial-stack output."""
     p_tokens, c_in, f = x_t.shape
     c = stacked["emb_w"].shape[1]

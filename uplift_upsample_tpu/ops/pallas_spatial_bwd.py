@@ -133,106 +133,73 @@ def _make_bwd_kernel(num_blocks: int, p_tokens: int, c: int, hidden: int,
     def bias_grad(dy):  # (P, C_out, bt) -> (1, C_out)
         return jnp.sum(dy, axis=(0, 2))[None, :]
 
-    def dense_fwd_t(x, w_t, bias):
-        """Per-joint dots emitted in T-layout (H, D, P, bt) — free views."""
-        bt = x.shape[-1]
-        rows = []
-        for p in range(p_tokens):
-            y = fwd_dot(w_t, x[p])
-            if bias is not None:
-                y = y + bias
-            rows.append(y.reshape(num_heads, depth, bt))
-        return jnp.stack(rows, axis=2)
+    def attention_fwd(q, k, v):
+        """Returns ctx (P, C, bt); per-head weights recomputed in backward."""
+        ctx_heads = []
+        for h in range(num_heads):
+            sl = slice(h * depth, (h + 1) * depth)
+            logits = None
+            for d in range(depth):
+                e = h * depth + d
+                contrib = q[:, e, :][:, None, :] * k[:, e, :][None, :, :]
+                logits = contrib if logits is None else logits + contrib
+            logits = logits * scale
+            m = jnp.max(logits, axis=1, keepdims=True)
+            ex = jnp.exp(logits - m)
+            attn = ex / jnp.sum(ex, axis=1, keepdims=True)  # (P, P, bt)
+            ctx_h = None
+            for kk in range(p_tokens):
+                piece = attn[:, kk, :][:, None, :] * v[kk, sl, :][None, :, :]
+                ctx_h = piece if ctx_h is None else ctx_h + piece
+            ctx_heads.append(ctx_h)
+        return jnp.concatenate(ctx_heads, axis=1)
 
-    def t_joint(t, p):  # (H, D, P, bt) -> (C, bt) view of joint p
-        return t[:, :, p, :].reshape(t.shape[0] * t.shape[1], t.shape[-1])
+    def attention_bwd(q, k, v, dctx):
+        """Recompute per-head softmax; return dq, dk, dv (each (P, C, bt))."""
+        dq_heads, dk_heads, dv_heads = [], [], []
+        for h in range(num_heads):
+            sl = slice(h * depth, (h + 1) * depth)
+            logits = None
+            for d in range(depth):
+                e = h * depth + d
+                contrib = q[:, e, :][:, None, :] * k[:, e, :][None, :, :]
+                logits = contrib if logits is None else logits + contrib
+            logits = logits * scale
+            m = jnp.max(logits, axis=1, keepdims=True)
+            ex = jnp.exp(logits - m)
+            attn = ex / jnp.sum(ex, axis=1, keepdims=True)  # (P_q, P_k, bt)
 
-    def dense_fwd_from_t(xT, w_t, bias):  # T-layout in, (P, C_out, bt) out
-        rows = []
-        for p in range(p_tokens):
-            y = fwd_dot(w_t, t_joint(xT, p))
-            rows.append(y if bias is None else y + bias)
-        return jnp.stack(rows, axis=0)
-
-    def dense_dx_to_t(dy, kernel):  # (P, C, bt) in, T-layout out
-        bt = dy.shape[-1]
-        rows = [fwd_dot(kernel, dy[p]).reshape(num_heads, depth, bt)
-                for p in range(p_tokens)]
-        return jnp.stack(rows, axis=2)
-
-    def dense_dx_from_t(dyT, kernel):  # T-layout in, (P, C_in, bt) out
-        return jnp.stack([fwd_dot(kernel, t_joint(dyT, p))
-                          for p in range(p_tokens)], axis=0)
-
-    def dense_dw_t(x, dyT):  # -> (C_in, C_out) summed over joints
-        acc = None
-        for p in range(p_tokens):
-            piece = grad_dot(x[p], t_joint(dyT, p))
-            acc = piece if acc is None else acc + piece
-        return acc
-
-    def bias_grad_t(dyT):  # (H, D, P, bt) -> (C,)
-        # Mosaic can't reduce both trailing dims at once; go one at a time
-        return jnp.sum(jnp.sum(dyT, axis=3), axis=2).reshape(-1)
-
-    def dense_dw_xt(xT, dy):  # x in T-layout, dy (P, C_out, bt)
-        acc = None
-        for p in range(p_tokens):
-            piece = grad_dot(t_joint(xT, p), dy[p])
-            acc = piece if acc is None else acc + piece
-        return acc
-
-    def softmax4(qT, kT):
-        """Head-batched logits+softmax: (H,D,P,bt) inputs -> A (H,Pq,Pk,bt)."""
-        logits = None
-        for d in range(depth):
-            piece = qT[:, d][:, :, None, :] * kT[:, d][:, None, :, :]
-            logits = piece if logits is None else logits + piece
-        logits = logits * scale
-        m = jnp.max(logits, axis=2, keepdims=True)
-        ex = jnp.exp(logits - m)
-        return ex / jnp.sum(ex, axis=2, keepdims=True)
-
-    def attention_fwd_t(qT, kT, vT):
-        """T-layout head-batched attention: returns ctxT (H, D, P, bt)."""
-        attn = softmax4(qT, kT)
-        ctxT = None
-        for kk in range(p_tokens):
-            piece = (attn[:, :, kk, :][:, None, :, :]
-                     * vT[:, :, kk, :][:, :, None, :])
-            ctxT = piece if ctxT is None else ctxT + piece
-        return ctxT
-
-    def attention_bwd_t(qT, kT, vT, dctxT):
-        """Recompute softmax; return dqT, dkT, dvT (each (H, D, P, bt))."""
-        attn = softmax4(qT, kT)  # (H, Pq, Pk, bt)
-        # dA[h,q,k] = sum_d dctxT[h,d,q] * vT[h,d,k]
-        dattn = None
-        for d in range(depth):
-            piece = dctxT[:, d][:, :, None, :] * vT[:, d][:, None, :, :]
-            dattn = piece if dattn is None else dattn + piece
-        # dvT[h,d,k] = sum_q attn[h,q,k] * dctxT[h,d,q]
-        dvT = None
-        for qq in range(p_tokens):
-            piece = (attn[:, qq, :, :][:, None, :, :]
-                     * dctxT[:, :, qq, :][:, :, None, :])
-            dvT = piece if dvT is None else dvT + piece
-        # softmax backward over the key axis (axis 2)
-        s = jnp.sum(dattn * attn, axis=2, keepdims=True)
-        dlogits = attn * (dattn - s) * scale  # (H, Pq, Pk, bt)
-        # dqT[h,d,q] = sum_k dlogits[h,q,k] * kT[h,d,k]
-        dqT = None
-        for kk in range(p_tokens):
-            piece = (dlogits[:, :, kk, :][:, None, :, :]
-                     * kT[:, :, kk, :][:, :, None, :])
-            dqT = piece if dqT is None else dqT + piece
-        # dkT[h,d,k] = sum_q dlogits[h,q,k] * qT[h,d,q]
-        dkT = None
-        for qq in range(p_tokens):
-            piece = (dlogits[:, qq, :, :][:, None, :, :]
-                     * qT[:, :, qq, :][:, :, None, :])
-            dkT = piece if dkT is None else dkT + piece
-        return dqT, dkT, dvT
+            dctx_h = dctx[:, sl, :]  # (P, depth, bt)
+            # dA[q, kk] = sum_d dctx_h[q, d] * v[kk, hd+d]
+            dattn = None
+            for d in range(depth):
+                e = h * depth + d
+                contrib = dctx_h[:, d, :][:, None, :] * v[:, e, :][None, :, :]
+                dattn = contrib if dattn is None else dattn + contrib
+            # dv[kk, d] = sum_q attn[q, kk] * dctx_h[q, d]
+            dv_h = None
+            for qq in range(p_tokens):
+                piece = attn[qq][:, None, :] * dctx_h[qq][None, :, :]
+                dv_h = piece if dv_h is None else dv_h + piece  # (P_k, depth, bt)
+            # softmax backward over the key axis (axis 1)
+            s = jnp.sum(dattn * attn, axis=1, keepdims=True)
+            dlogits = attn * (dattn - s) * scale  # (P_q, P_k, bt)
+            # dq[q, d] = sum_kk dlogits[q, kk] * k[kk, hd+d]
+            dq_h = None
+            for kk in range(p_tokens):
+                piece = dlogits[:, kk, :][:, None, :] * k[kk, sl, :][None, :, :]
+                dq_h = piece if dq_h is None else dq_h + piece
+            # dk[kk, d] = sum_q dlogits[q, kk] * q[q, hd+d]
+            dk_h = None
+            for qq in range(p_tokens):
+                piece = dlogits[qq][:, None, :] * q[qq, sl, :][None, :, :]
+                dk_h = piece if dk_h is None else dk_h + piece
+            dq_heads.append(dq_h)
+            dk_heads.append(dk_h)
+            dv_heads.append(dv_h)
+        return (jnp.concatenate(dq_heads, axis=1),
+                jnp.concatenate(dk_heads, axis=1),
+                jnp.concatenate(dv_heads, axis=1))
 
     def kernel(x_ref, g_ref, dp_ref,
                emb_w_ref, emb_b_ref, pe_ref,
@@ -258,11 +225,11 @@ def _make_bwd_kernel(num_blocks: int, p_tokens: int, c: int, hidden: int,
             g1 = ln1_g_ref[blk].reshape(c, 1)
             xhat1, _ = _ln_stats(x, 1e-5)
             y = xhat1 * g1 + ln1_b_ref[blk].reshape(c, 1)
-            qT = dense_fwd_t(y, wq_ref[blk].T, bq_ref[blk].reshape(c, 1))
-            kT = dense_fwd_t(y, wk_ref[blk].T, bk_ref[blk].reshape(c, 1))
-            vT = dense_fwd_t(y, wv_ref[blk].T, bv_ref[blk].reshape(c, 1))
-            ctxT = attention_fwd_t(qT, kT, vT)
-            proj = dense_fwd_from_t(ctxT, wp_ref[blk].T, bp_ref[blk].reshape(c, 1))
+            q = dense_fwd(y, wq_ref[blk].T, bq_ref[blk].reshape(c, 1))
+            k = dense_fwd(y, wk_ref[blk].T, bk_ref[blk].reshape(c, 1))
+            v = dense_fwd(y, wv_ref[blk].T, bv_ref[blk].reshape(c, 1))
+            ctx = attention_fwd(q, k, v)
+            proj = dense_fwd(ctx, wp_ref[blk].T, bp_ref[blk].reshape(c, 1))
             x = x + proj * dp[2 * blk][None, None, :]
             g2 = ln2_g_ref[blk].reshape(c, 1)
             xhat2, _ = _ln_stats(x, 1e-5)
@@ -293,11 +260,11 @@ def _make_bwd_kernel(num_blocks: int, p_tokens: int, c: int, hidden: int,
             # recompute forward intermediates for this block
             xhat1, inv1 = _ln_stats(x0, 1e-5)
             y = xhat1 * g1 + ln1_b_ref[blk].reshape(c, 1)
-            qT = dense_fwd_t(y, wq_ref[blk].T, bq_ref[blk].reshape(c, 1))
-            kT = dense_fwd_t(y, wk_ref[blk].T, bk_ref[blk].reshape(c, 1))
-            vT = dense_fwd_t(y, wv_ref[blk].T, bv_ref[blk].reshape(c, 1))
-            ctxT = attention_fwd_t(qT, kT, vT)
-            proj = dense_fwd_from_t(ctxT, wp_ref[blk].T, bp_ref[blk].reshape(c, 1))
+            q = dense_fwd(y, wq_ref[blk].T, bq_ref[blk].reshape(c, 1))
+            k = dense_fwd(y, wk_ref[blk].T, bk_ref[blk].reshape(c, 1))
+            v = dense_fwd(y, wv_ref[blk].T, bv_ref[blk].reshape(c, 1))
+            ctx = attention_fwd(q, k, v)
+            proj = dense_fwd(ctx, wp_ref[blk].T, bp_ref[blk].reshape(c, 1))
             x2 = x0 + proj * s1
             xhat2, inv2 = _ln_stats(x2, 1e-5)
             z = xhat2 * g2 + ln2_b_ref[blk].reshape(c, 1)
@@ -331,19 +298,18 @@ def _make_bwd_kernel(num_blocks: int, p_tokens: int, c: int, hidden: int,
             # attention branch backward: x2 = x0 + s1 * proj
             dproj = dx2 * s1
             ddp_ref[2 * blk] = jnp.sum(dx2 * proj, axis=(0, 1))
-            dwp_ref[0, blk] = dense_dw_xt(ctxT, dproj)
+            dwp_ref[0, blk] = dense_dw(ctx, dproj)
             dbp_ref[0, blk] = jnp.sum(dproj, axis=(0, 2))
-            dctxT = dense_dx_to_t(dproj, wp_ref[blk])
-            dqT, dkT, dvT = attention_bwd_t(qT, kT, vT, dctxT)
-            dwq_ref[0, blk] = dense_dw_t(y, dqT)
-            dbq_ref[0, blk] = bias_grad_t(dqT)
-            dwk_ref[0, blk] = dense_dw_t(y, dkT)
-            dbk_ref[0, blk] = bias_grad_t(dkT)
-            dwv_ref[0, blk] = dense_dw_t(y, dvT)
-            dbv_ref[0, blk] = bias_grad_t(dvT)
-            dy = (dense_dx_from_t(dqT, wq_ref[blk])
-                  + dense_dx_from_t(dkT, wk_ref[blk])
-                  + dense_dx_from_t(dvT, wv_ref[blk]))
+            dctx = dense_dx(dproj, wp_ref[blk])
+            dq, dk, dv = attention_bwd(q, k, v, dctx)
+            dwq_ref[0, blk] = dense_dw(y, dq)
+            dbq_ref[0, blk] = jnp.sum(dq, axis=(0, 2))
+            dwk_ref[0, blk] = dense_dw(y, dk)
+            dbk_ref[0, blk] = jnp.sum(dk, axis=(0, 2))
+            dwv_ref[0, blk] = dense_dw(y, dv)
+            dbv_ref[0, blk] = jnp.sum(dv, axis=(0, 2))
+            dy = (dense_dx(dq, wq_ref[blk]) + dense_dx(dk, wk_ref[blk])
+                  + dense_dx(dv, wv_ref[blk]))
 
             dln1_g_ref[0, blk] = jnp.sum(dy * xhat1, axis=(0, 2))
             dln1_b_ref[0, blk] = jnp.sum(dy, axis=(0, 2))
