@@ -181,13 +181,19 @@ def main():
         for part in v.split("_"):
             if part.startswith("wpt"):
                 wpt = int(part[3:])
-        wdtype = jnp.float32 if v.endswith("_f32w") else jnp.bfloat16
+        wdtype = jnp.float32 if "_f32w" in v else jnp.bfloat16
+        amode = "full"
+        for m in ("noattn", "logitsonly", "softmaxonly"):
+            if v.endswith("_" + m):
+                amode = {"noattn": "none", "logitsonly": "logits_only",
+                         "softmaxonly": "softmax_only"}[m]
         stacked = stack_temporal_params(variables["params"], 4)
 
         def fn(t):
             return fused_temporal_stack_v3(t, stacked, None, num_blocks=4,
                                            num_heads=8, windows_per_tile=wpt,
-                                           weights_dtype=wdtype)
+                                           weights_dtype=wdtype,
+                                           attn_mode=amode)
         sec = device_timer(fn, t_in)
     elif v.startswith("bench_fwd"):
         # End-to-end fused bench path: bench_fwd[_v2][_spdefault|_sphigh3]

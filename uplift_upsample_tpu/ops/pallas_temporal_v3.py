@@ -69,7 +69,8 @@ def _dot_maker(dims, precision):
 
 def _make_kernel_v3(num_blocks: int, wpt: int, s: int, c: int, hidden: int,
                     num_heads: int, first_masked_blocks: int,
-                    activation: str, precision=jax.lax.Precision.DEFAULT):
+                    activation: str, precision=jax.lax.Precision.DEFAULT,
+                    attn_mode: str = "full"):
     depth = c // num_heads
     scale_q = np.float32(1.0 / np.sqrt(depth))
     r = wpt * s
@@ -106,8 +107,30 @@ def _make_kernel_v3(num_blocks: int, wpt: int, s: int, c: int, hidden: int,
                 addmask = blkdiag_ref[:] + keyrow_ref[0]  # (R,R) + (1,R)
             else:
                 addmask = blkdiag_ref[:] + padrow_ref[0]
-            ctx_parts = []
-            for h in range(num_heads):
+            if attn_mode == "none":  # perf bisection: ctx := v
+                ctx = qkv[2 * c:] + addmask[:1] * 0.0
+            elif attn_mode == "logits_only":  # dots, no softmax
+                ctx_parts = []
+                for h in range(num_heads):
+                    qh = qkv[h * depth:(h + 1) * depth] * scale_q
+                    kh = qkv[c + h * depth: c + (h + 1) * depth]
+                    vh = qkv[2 * c + h * depth: 2 * c + (h + 1) * depth]
+                    logits = dot_tt(qh, kh) + addmask
+                    ctx_parts.append(dot_nt(vh, logits))
+                ctx = jnp.concatenate(ctx_parts, axis=0)
+            elif attn_mode == "softmax_only":  # softmax on a fake logits
+                ctx_parts = []
+                fake = addmask  # (R, R), data-independent
+                for h in range(num_heads):
+                    vh = qkv[2 * c + h * depth: 2 * c + (h + 1) * depth]
+                    m = jnp.max(fake, axis=1, keepdims=True)
+                    ex = jnp.exp(fake - m)
+                    wgt = ex / jnp.sum(ex, axis=1, keepdims=True)
+                    ctx_parts.append(dot_nt(vh, wgt))
+                ctx = jnp.concatenate(ctx_parts, axis=0)
+            else:
+              ctx_parts = []
+              for h in range(num_heads):
                 qh = qkv[h * depth:(h + 1) * depth] * scale_q        # (48, R)
                 kh = qkv[c + h * depth: c + (h + 1) * depth]
                 vh = qkv[2 * c + h * depth: 2 * c + (h + 1) * depth]
@@ -116,7 +139,7 @@ def _make_kernel_v3(num_blocks: int, wpt: int, s: int, c: int, hidden: int,
                 ex = jnp.exp(logits - m)
                 wgt = ex / jnp.sum(ex, axis=1, keepdims=True)
                 ctx_parts.append(dot_nt(vh, wgt))                    # (48, R)
-            ctx = jnp.concatenate(ctx_parts, axis=0)                 # (C, R)
+              ctx = jnp.concatenate(ctx_parts, axis=0)               # (C, R)
 
             x = x + dot(wp[:].astype(jnp.float32), ctx) + bp[:]
             z = ln(x, ones_row, ln2_g[:], ln2_b[:], 1e-5)
@@ -159,7 +182,7 @@ def _transposed_operands(stacked: Dict, num_blocks: int, weights_dtype):
 
 @functools.partial(jax.jit, static_argnames=(
     "num_blocks", "num_heads", "first_masked_blocks", "windows_per_tile",
-    "activation", "weights_dtype", "precision"))
+    "activation", "weights_dtype", "precision", "attn_mode"))
 def fused_temporal_stack_v3(x: jax.Array, stacked: Dict,
                             key_mask: Optional[jax.Array] = None, *,
                             num_blocks: int, num_heads: int,
@@ -167,7 +190,8 @@ def fused_temporal_stack_v3(x: jax.Array, stacked: Dict,
                             windows_per_tile: int = 4,
                             activation: str = "relu",
                             weights_dtype=jnp.float32,
-                            precision=jax.lax.Precision.DEFAULT) -> jax.Array:
+                            precision=jax.lax.Precision.DEFAULT,
+                            attn_mode: str = "full") -> jax.Array:
     """x: (B, S, C) → (B, S, C) through the fused transformer stack.
 
     key_mask: (B, S), 1/True = blocked key, applied to the first
@@ -235,7 +259,7 @@ def fused_temporal_stack_v3(x: jax.Array, stacked: Dict,
         n_grp = min(group, num_blocks - done)
         fmb_grp = max(0, min(n_grp, first_masked_blocks - done))
         kernel = _make_kernel_v3(n_grp, wpt, s, c, hidden, num_heads,
-                                 fmb_grp, activation, precision)
+                                 fmb_grp, activation, precision, attn_mode)
         grp_ops = block_ops[12 * done: 12 * (done + n_grp)]
         in_specs = [
             pl.BlockSpec((1, c, r), lambda i: (i, 0, 0),
