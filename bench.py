@@ -145,6 +145,9 @@ def main():
     parser.add_argument("--pallas", action="store_true")
     parser.add_argument("--no-fused-spatial", dest="fused_spatial", action="store_false",
                         help="disable the fused Pallas spatial-stack kernel")
+    parser.add_argument("--precision", default="default",
+                        choices=["default", "high", "highest"],
+                        help="matmul precision rung (see PERF_NOTES.md)")
     parser.add_argument("--train", action="store_true",
                         help="measure the full training step (fwd+bwd+AdamW) "
                              "instead of the eval forward")
@@ -159,15 +162,18 @@ def main():
 
     model, variables = build(args.dtype, args.pallas)
 
-    # THE eval configuration: bench.py and eval.py share make_test_step, so
-    # the benchmarked path IS the parity path (fused="full": HIGH3 spatial
-    # dots + bf16-weight fused temporal/strided kernels; see PERF_NOTES.md).
+    # THE eval code path: bench.py and eval.py share make_test_step
+    # (fused="full"), differing only in the documented EVAL_MATMUL_PRECISION
+    # rung — bench defaults to "default" (throughput mode; 1-pass-bf16 dots,
+    # drift table in PERF_NOTES.md), eval defaults to "high" (bf16x3,
+    # parity-grade MPJPE). `--precision high` benches the eval rung.
     from uplift_upsample_tpu.data.keypoint_order import H36MOrder17P
     from uplift_upsample_tpu.eval import make_test_step
     test_step = make_test_step(
         model, variables, flip_tta=args.flip_tta,
         flip_lr_indices=H36MOrder17P.flip_lr_indices(),
-        fused="full" if args.fused_spatial else "none")
+        fused="full" if args.fused_spatial else "none",
+        precision=args.precision)
 
     def forward(variables, x, sm):
         del variables  # bound inside test_step
