@@ -182,6 +182,7 @@ def main():
             if part.startswith("wpt"):
                 wpt = int(part[3:])
         wdtype = jnp.float32 if "_f32w" in v else jnp.bfloat16
+        spad = 96 if "_s96" in v else 0
         amode = "full"
         for m in ("noattn", "logitsonly", "softmaxonly"):
             if v.endswith("_" + m):
@@ -193,7 +194,7 @@ def main():
             return fused_temporal_stack_v3(t, stacked, None, num_blocks=4,
                                            num_heads=8, windows_per_tile=wpt,
                                            weights_dtype=wdtype,
-                                           attn_mode=amode)
+                                           attn_mode=amode, token_pad_to=spad)
         sec = device_timer(fn, t_in)
     elif v.startswith("bench_fwd"):
         # End-to-end fused bench path: bench_fwd[_v2][_spdefault|_sphigh3]

@@ -182,7 +182,7 @@ def _transposed_operands(stacked: Dict, num_blocks: int, weights_dtype):
 
 @functools.partial(jax.jit, static_argnames=(
     "num_blocks", "num_heads", "first_masked_blocks", "windows_per_tile",
-    "activation", "weights_dtype", "precision", "attn_mode"))
+    "activation", "weights_dtype", "precision", "attn_mode", "token_pad_to"))
 def fused_temporal_stack_v3(x: jax.Array, stacked: Dict,
                             key_mask: Optional[jax.Array] = None, *,
                             num_blocks: int, num_heads: int,
@@ -191,7 +191,8 @@ def fused_temporal_stack_v3(x: jax.Array, stacked: Dict,
                             activation: str = "relu",
                             weights_dtype=jnp.float32,
                             precision=jax.lax.Precision.DEFAULT,
-                            attn_mode: str = "full") -> jax.Array:
+                            attn_mode: str = "full",
+                            token_pad_to: int = 0) -> jax.Array:
     """x: (B, S, C) → (B, S, C) through the fused transformer stack.
 
     key_mask: (B, S), 1/True = blocked key, applied to the first
@@ -206,6 +207,9 @@ def fused_temporal_stack_v3(x: jax.Array, stacked: Dict,
     """
     b, s_in, c = x.shape
     s = -(-s_in // 8) * 8
+    # Optional stronger token padding (e.g. 96) so R = wpt*s hits an exact
+    # 128-lane-tile multiple — Mosaic perf probe
+    s = max(s, token_pad_to)
     wpt = windows_per_tile
     while b % wpt != 0 and wpt > 1:
         wpt //= 2
