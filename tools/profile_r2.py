@@ -196,6 +196,106 @@ def main():
                                            weights_dtype=wdtype,
                                            attn_mode=amode, token_pad_to=spad)
         sec = device_timer(fn, t_in)
+    elif v.startswith("tv3probe_"):
+        # Pin the v3 fixed cost: "wrapper" = pad/transpose round-trip with no
+        # pallas_call; "copy" = identical blockspecs, trivial copy kernel.
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        c, s, wpt = 384, 72, 4
+        r = wpt * s
+
+        if v in ("tv3probe_weights", "tv3probe_qkv4", "tv3probe_ln8"):
+            rng2 = np.random.default_rng(2)
+            wqkv = jnp.asarray(rng2.normal(size=(3 * c, c)).astype(np.float32)
+                               * 0.05).astype(jnp.bfloat16)
+            ws = [wqkv] * 4  # 4 blocks' worth ≈ 3.5 MB bf16
+            ones8 = jnp.ones((8, c), jnp.float32)
+
+            def kernel(x_ref, ones_ref, w0, w1, w2, w3, o_ref):
+                x = x_ref[0]
+                if v == "tv3probe_weights":
+                    o_ref[0] = x * 1.000001
+                    return
+                if v == "tv3probe_qkv4":
+                    acc = x
+                    for wr in (w0, w1, w2, w3):
+                        qkv = jax.lax.dot_general(
+                            wr[:].astype(jnp.float32), acc,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        acc = acc + qkv[:c] + qkv[c:2 * c] + qkv[2 * c:]
+                    o_ref[0] = acc
+                    return
+                # ln8: 8 MXU-stat LayerNorms
+                ones_row = ones_ref[:1]
+                acc = x
+                for _ in range(8):
+                    mu = jax.lax.dot_general(
+                        ones_row, acc, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32) * (1.0 / c)
+                    xc = acc - mu
+                    var = jax.lax.dot_general(
+                        ones_row, xc * xc, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32) * (1.0 / c)
+                    acc = xc / jnp.sqrt(var + 1e-5)
+                o_ref[0] = acc
+
+            def fullspec(a):
+                return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                    memory_space=pltpu.VMEM)
+
+            @jax.jit
+            def fn(t):
+                bb = t.shape[0]
+                xp = jnp.pad(t, ((0, 0), (0, s - 71), (0, 0)))
+                n_tiles = (bb * s) // r
+                x_t = xp.reshape(n_tiles, r, c).transpose(0, 2, 1)
+                out = pl.pallas_call(
+                    kernel,
+                    grid=(n_tiles,),
+                    in_specs=[pl.BlockSpec((1, c, r), lambda i: (i, 0, 0),
+                                           memory_space=pltpu.VMEM),
+                              fullspec(ones8)] + [fullspec(w) for w in ws],
+                    out_specs=pl.BlockSpec((1, c, r), lambda i: (i, 0, 0),
+                                           memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct((n_tiles, c, r),
+                                                   jnp.float32),
+                )(x_t, ones8, *ws)
+                return out.transpose(0, 2, 1).reshape(bb, s, c)[:, :71]
+        elif v == "tv3probe_wrapper":
+            @jax.jit
+            def fn(t):
+                bb = t.shape[0]
+                xp = jnp.pad(t, ((0, 0), (0, s - 71), (0, 0)))
+                n_tiles = (bb * s) // r
+                x_t = xp.reshape(n_tiles, r, c).transpose(0, 2, 1)
+                out = x_t * 1.000001
+                return out.transpose(0, 2, 1).reshape(bb, s, c)[:, :71]
+        else:
+            def kernel(x_ref, o_ref):
+                o_ref[0] = x_ref[0] * 1.000001
+
+            @jax.jit
+            def fn(t):
+                bb = t.shape[0]
+                xp = jnp.pad(t, ((0, 0), (0, s - 71), (0, 0)))
+                n_tiles = (bb * s) // r
+                x_t = xp.reshape(n_tiles, r, c).transpose(0, 2, 1)
+                out = x_t
+                reps = 4 if v == "tv3probe_copy4" else 1
+                for _ in range(reps):
+                    out = pl.pallas_call(
+                        kernel,
+                        grid=(n_tiles,),
+                        in_specs=[pl.BlockSpec((1, c, r), lambda i: (i, 0, 0),
+                                               memory_space=pltpu.VMEM)],
+                        out_specs=pl.BlockSpec((1, c, r), lambda i: (i, 0, 0),
+                                               memory_space=pltpu.VMEM),
+                        out_shape=jax.ShapeDtypeStruct((n_tiles, c, r),
+                                                       jnp.float32),
+                    )(out)
+                return out.transpose(0, 2, 1).reshape(bb, s, c)[:, :71]
+        sec = device_timer(fn, t_in)
     elif v.startswith("bench_fwd"):
         # End-to-end fused bench path: bench_fwd[_v2][_spdefault|_sphigh3]
         model, variables = build()
