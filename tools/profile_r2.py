@@ -184,18 +184,64 @@ def main():
         wdtype = jnp.float32 if "_f32w" in v else jnp.bfloat16
         spad = 96 if "_s96" in v else 0
         amode = "full"
-        for m in ("noattn", "logitsonly", "softmaxonly"):
+        for m in ("noattn", "logitsonly", "softmaxonly", "qkvonly", "nomlp"):
             if v.endswith("_" + m):
                 amode = {"noattn": "none", "logitsonly": "logits_only",
-                         "softmaxonly": "softmax_only"}[m]
+                         "softmaxonly": "softmax_only", "qkvonly": "qkvonly",
+                         "nomlp": "nomlp"}[m]
         stacked = stack_temporal_params(variables["params"], 4)
 
-        def fn(t):
-            return fused_temporal_stack_v3(t, stacked, None, num_blocks=4,
-                                           num_heads=8, windows_per_tile=wpt,
-                                           weights_dtype=wdtype,
-                                           attn_mode=amode, token_pad_to=spad)
-        sec = device_timer(fn, t_in)
+        if "_nojit" in v:
+            # Call the undecorated implementation (no nested jit/closed_call)
+            impl = fused_temporal_stack_v3.__wrapped__
+
+            def fn(t):
+                return impl(t, stacked, None, num_blocks=4, num_heads=8,
+                            first_masked_blocks=0, windows_per_tile=wpt,
+                            activation="relu", weights_dtype=wdtype,
+                            precision=jax.lax.Precision.DEFAULT,
+                            attn_mode=amode, token_pad_to=spad)
+            sec = device_timer(fn, t_in)
+        elif "_prepped" in v:
+            # Weight transposes/casts done OUTSIDE the timed jit and passed
+            # as device-resident args: tests whether in-jit weight prep is
+            # re-executed per scan iteration.
+            from uplift_upsample_tpu.ops.pallas_temporal_v3 import _transposed_operands
+            ops = [jax.device_put(o) for o in _transposed_operands(stacked, 4, wdtype)]
+
+            def fn(t, *flat):
+                return fused_temporal_stack_v3(t, stacked, None, num_blocks=4,
+                                               num_heads=8,
+                                               windows_per_tile=wpt,
+                                               weights_dtype=wdtype,
+                                               attn_mode=amode,
+                                               token_pad_to=spad,
+                                               prepped_ops=flat)
+            sec = device_timer(fn, t_in, *ops)
+        elif "_args" in v:
+            # Weights as traced ARGUMENTS (device-resident), not closure
+            # constants: through the relay, large jit constants are lifted to
+            # parameters backed by host copies and re-shipped every call.
+            keys = sorted(stacked.keys())
+            vals = [stacked[k] for k in keys]
+
+            def fn(t, *flat):
+                st = dict(zip(keys, flat))
+                return fused_temporal_stack_v3(t, st, None, num_blocks=4,
+                                               num_heads=8,
+                                               windows_per_tile=wpt,
+                                               weights_dtype=wdtype,
+                                               attn_mode=amode,
+                                               token_pad_to=spad)
+            sec = device_timer(fn, t_in, *vals)
+        else:
+            def fn(t):
+                return fused_temporal_stack_v3(t, stacked, None, num_blocks=4,
+                                               num_heads=8, windows_per_tile=wpt,
+                                               weights_dtype=wdtype,
+                                               attn_mode=amode,
+                                               token_pad_to=spad)
+            sec = device_timer(fn, t_in)
     elif v.startswith("tv3probe_"):
         # Pin the v3 fixed cost: "wrapper" = pad/transpose round-trip with no
         # pallas_call; "copy" = identical blockspecs, trivial copy kernel.
@@ -204,7 +250,161 @@ def main():
         c, s, wpt = 384, 72, 4
         r = wpt * s
 
-        if v in ("tv3probe_weights", "tv3probe_qkv4", "tv3probe_ln8"):
+        if v == "tv3probe_manyops":
+            # Copy kernel with the REAL kernel's operand census: 4 blocks x
+            # (2 LN cols + wqkv + bqkv col + wp + bp col + 2 LN cols + w1 +
+            # b1 col + w2 + b2 col) + blkdiag + masks + ones = 53 operands.
+            rng2 = np.random.default_rng(2)
+
+            def mk(*shape, dt=jnp.float32):
+                a = rng2.normal(size=shape).astype(np.float32) * 0.05
+                return jnp.asarray(a).astype(dt)
+
+            blk_ops = []
+            for _ in range(4):
+                blk_ops += [mk(c, 1), mk(c, 1), mk(3 * c, c, dt=jnp.bfloat16),
+                            mk(3 * c, 1), mk(c, c, dt=jnp.bfloat16), mk(c, 1),
+                            mk(c, 1), mk(c, 1), mk(768, c, dt=jnp.bfloat16),
+                            mk(768, 1), mk(c, 768, dt=jnp.bfloat16), mk(c, 1)]
+            blkdiag2 = mk(r, r)
+            ones8 = jnp.ones((8, c), jnp.float32)
+
+            def kernel(*refs):
+                x_ref, o_ref = refs[0], refs[-1]
+                o_ref[0] = x_ref[0] * 1.000001
+
+            def fullspec(a):
+                return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                    memory_space=pltpu.VMEM)
+
+            @jax.jit
+            def fn(t):
+                bb = t.shape[0]
+                xp = jnp.pad(t, ((0, 0), (0, s - 71), (0, 0)))
+                n_tiles = (bb * s) // r
+                x_t = xp.reshape(n_tiles, r, c).transpose(0, 2, 1)
+                keyrow2 = jnp.zeros((n_tiles, 1, r), jnp.float32)
+                out = pl.pallas_call(
+                    kernel,
+                    grid=(n_tiles,),
+                    in_specs=[pl.BlockSpec((1, c, r), lambda i: (i, 0, 0),
+                                           memory_space=pltpu.VMEM),
+                              fullspec(blkdiag2),
+                              pl.BlockSpec((1, 1, r), lambda i: (i, 0, 0),
+                                           memory_space=pltpu.VMEM),
+                              pl.BlockSpec((1, 1, r), lambda i: (i, 0, 0),
+                                           memory_space=pltpu.VMEM),
+                              fullspec(ones8)]
+                    + [fullspec(o) for o in blk_ops],
+                    out_specs=pl.BlockSpec((1, c, r), lambda i: (i, 0, 0),
+                                           memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct((n_tiles, c, r),
+                                                   jnp.float32),
+                )(x_t, blkdiag2, keyrow2, keyrow2, ones8, *blk_ops)
+                return out.transpose(0, 2, 1).reshape(bb, s, c)[:, :71]
+            sec = device_timer(fn, t_in)
+        elif v in ("tv3probe_mixed", "tv3probe_mixed_vpu"):
+            # Interleave LN stats with big dots like the real kernel.
+            # "mixed": stats via M=1 MXU ones-dots (shape-thrash theory);
+            # "mixed_vpu": stats via cross-sublane VPU reductions.
+            rng2 = np.random.default_rng(2)
+            wqkv = jnp.asarray(rng2.normal(size=(3 * c, c)).astype(np.float32)
+                               * 0.05).astype(jnp.bfloat16)
+            ws = [wqkv] * 4
+            ones8 = jnp.ones((8, c), jnp.float32)
+            use_mxu = v == "tv3probe_mixed"
+
+            def kernel(x_ref, ones_ref, w0, w1, w2, w3, o_ref):
+                acc = x_ref[0]
+                ones_row = ones_ref[:1]
+                for wr in (w0, w1, w2, w3):
+                    if use_mxu:
+                        mu = jax.lax.dot_general(
+                            ones_row, acc, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) * (1.0 / c)
+                        xc = acc - mu
+                        var = jax.lax.dot_general(
+                            ones_row, xc * xc, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) * (1.0 / c)
+                    else:
+                        mu = jnp.mean(acc, axis=0, keepdims=True)
+                        xc = acc - mu
+                        var = jnp.mean(xc * xc, axis=0, keepdims=True)
+                    y = xc / jnp.sqrt(var + 1e-5)
+                    qkv = jax.lax.dot_general(
+                        wr[:].astype(jnp.float32), y,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    acc = acc + qkv[:c] + qkv[c:2 * c] + qkv[2 * c:]
+                o_ref[0] = acc
+
+            def fullspec(a):
+                return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                    memory_space=pltpu.VMEM)
+
+            @jax.jit
+            def fn(t):
+                bb = t.shape[0]
+                xp = jnp.pad(t, ((0, 0), (0, s - 71), (0, 0)))
+                n_tiles = (bb * s) // r
+                x_t = xp.reshape(n_tiles, r, c).transpose(0, 2, 1)
+                out = pl.pallas_call(
+                    kernel,
+                    grid=(n_tiles,),
+                    in_specs=[pl.BlockSpec((1, c, r), lambda i: (i, 0, 0),
+                                           memory_space=pltpu.VMEM),
+                              fullspec(ones8)] + [fullspec(w) for w in ws],
+                    out_specs=pl.BlockSpec((1, c, r), lambda i: (i, 0, 0),
+                                           memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct((n_tiles, c, r),
+                                                   jnp.float32),
+                )(x_t, ones8, *ws)
+                return out.transpose(0, 2, 1).reshape(bb, s, c)[:, :71]
+            sec = device_timer(fn, t_in)
+        elif v == "tv3probe_biases":
+            # qkv4 + per-block (n,1) column bias operands — the padded-lane
+            # VMEM theory: (1152,1) pads to (1152,128) = 590 KB each
+            rng2 = np.random.default_rng(2)
+            wqkv = jnp.asarray(rng2.normal(size=(3 * c, c)).astype(np.float32)
+                               * 0.05).astype(jnp.bfloat16)
+            bcol = jnp.asarray(rng2.normal(size=(3 * c, 1)).astype(np.float32))
+            ws = [wqkv] * 4
+            bs_ = [bcol] * 4
+
+            def kernel(x_ref, w0, w1, w2, w3, b0, b1, b2, b3, o_ref):
+                acc = x_ref[0]
+                for wr, br in ((w0, b0), (w1, b1), (w2, b2), (w3, b3)):
+                    qkv = jax.lax.dot_general(
+                        wr[:].astype(jnp.float32), acc,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32) + br[:]
+                    acc = acc + qkv[:c] + qkv[c:2 * c] + qkv[2 * c:]
+                o_ref[0] = acc
+
+            def fullspec(a):
+                return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                    memory_space=pltpu.VMEM)
+
+            @jax.jit
+            def fn(t):
+                bb = t.shape[0]
+                xp = jnp.pad(t, ((0, 0), (0, s - 71), (0, 0)))
+                n_tiles = (bb * s) // r
+                x_t = xp.reshape(n_tiles, r, c).transpose(0, 2, 1)
+                out = pl.pallas_call(
+                    kernel,
+                    grid=(n_tiles,),
+                    in_specs=[pl.BlockSpec((1, c, r), lambda i: (i, 0, 0),
+                                           memory_space=pltpu.VMEM)]
+                    + [fullspec(w) for w in ws] + [fullspec(b) for b in bs_],
+                    out_specs=pl.BlockSpec((1, c, r), lambda i: (i, 0, 0),
+                                           memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct((n_tiles, c, r),
+                                                   jnp.float32),
+                )(x_t, *ws, *bs_)
+                return out.transpose(0, 2, 1).reshape(bb, s, c)[:, :71]
+            sec = device_timer(fn, t_in)
+        elif v in ("tv3probe_weights", "tv3probe_qkv4", "tv3probe_ln8"):
             rng2 = np.random.default_rng(2)
             wqkv = jnp.asarray(rng2.normal(size=(3 * c, c)).astype(np.float32)
                                * 0.05).astype(jnp.bfloat16)

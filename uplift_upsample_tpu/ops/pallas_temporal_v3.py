@@ -107,6 +107,9 @@ def _make_kernel_v3(num_blocks: int, wpt: int, s: int, c: int, hidden: int,
                 addmask = blkdiag_ref[:] + keyrow_ref[0]  # (R,R) + (1,R)
             else:
                 addmask = blkdiag_ref[:] + padrow_ref[0]
+            if attn_mode == "qkvonly":  # bisection: LN + qkv dot only
+                x = x + qkv[:c] + qkv[c:2 * c] + qkv[2 * c:]
+                continue
             if attn_mode == "none":  # perf bisection: ctx := v
                 ctx = qkv[2 * c:] + addmask[:1] * 0.0
             elif attn_mode == "logits_only":  # dots, no softmax
@@ -142,6 +145,8 @@ def _make_kernel_v3(num_blocks: int, wpt: int, s: int, c: int, hidden: int,
               ctx = jnp.concatenate(ctx_parts, axis=0)               # (C, R)
 
             x = x + dot(wp[:].astype(jnp.float32), ctx) + bp[:]
+            if attn_mode == "nomlp":
+                continue
             z = ln(x, ones_row, ln2_g[:], ln2_b[:], 1e-5)
             z = dot(w1[:].astype(jnp.float32), z) + b1[:]
             if activation == "relu":
@@ -192,7 +197,8 @@ def fused_temporal_stack_v3(x: jax.Array, stacked: Dict,
                             weights_dtype=jnp.float32,
                             precision=jax.lax.Precision.DEFAULT,
                             attn_mode: str = "full",
-                            token_pad_to: int = 0) -> jax.Array:
+                            token_pad_to: int = 0,
+                            prepped_ops=None) -> jax.Array:
     """x: (B, S, C) → (B, S, C) through the fused transformer stack.
 
     key_mask: (B, S), 1/True = blocked key, applied to the first
@@ -256,7 +262,8 @@ def fused_temporal_stack_v3(x: jax.Array, stacked: Dict,
     per_block = (3 * c * c + c * c + 2 * c * hidden) * itemsize
     group = max(1, min(num_blocks, int(10e6 // max(per_block, 1))))
 
-    block_ops = _transposed_operands(stacked, num_blocks, weights_dtype)
+    block_ops = (list(prepped_ops) if prepped_ops is not None
+                 else _transposed_operands(stacked, num_blocks, weights_dtype))
     out = x_t
     done = 0
     while done < num_blocks:
@@ -282,6 +289,11 @@ def fused_temporal_stack_v3(x: jax.Array, stacked: Dict,
             out_specs=pl.BlockSpec((1, c, r), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n_tiles, c, r), jnp.float32),
+            # Lane-padded (n,1) column operands + weights overflow the 16 MB
+            # default scoped-VMEM budget, silently demoting operands to
+            # streaming; raise the cap (proven safe by the backward kernel).
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
         )(out, blkdiag, keyrow, padrow_full, ones_row, *grp_ops)
         done += n_grp
     return out.transpose(0, 2, 1).reshape(b, s, c)[:, :s_in]
