@@ -95,9 +95,11 @@ def _make_kernel(wpt: int, s: int, c: int, num_heads: int, activation: str,
     dot_nt = _dot_maker((((1,), (1,)), ((), ())), precision)
 
     def ln(x, ones_row, gamma, beta, eps):
-        mu = dot(ones_row, x) * inv_c
+        # VPU cross-sublane stats (faster than M=1 MXU dots between big dots)
+        del ones_row
+        mu = jnp.mean(x, axis=0, keepdims=True)
         xc = x - mu
-        var = dot(ones_row, xc * xc) * inv_c
+        var = jnp.mean(xc * xc, axis=0, keepdims=True)
         return xc / jnp.sqrt(var + eps) * gamma + beta
 
     def shl(a, j):  # shift lanes left by j, zero-fill the tail
