@@ -503,13 +503,17 @@ def main():
         from uplift_upsample_tpu.ops.pallas_spatial import HIGH3
         impl = "v2" if "_v2" in v else "v3"
         sp_prec = HIGH3 if "sphigh3" in v else jax.lax.Precision.DEFAULT
+        twpt = 4
+        for part in v.split("_"):
+            if part.startswith("twpt"):
+                twpt = int(part[4:])
 
         def fn(x, sm):
             xm = x * sm[:, :, None, None].astype(x.dtype)
             return bench_forward(model, variables, xm, sm,
                                  spatial_precision=sp_prec,
                                  temporal_precision=jax.lax.Precision.DEFAULT,
-                                 temporal_impl=impl)
+                                 temporal_impl=impl, temporal_wpt=twpt)
         sec = device_timer(fn, x, sm)
     elif v.startswith("strided_"):
         dtype = "float32" if v.endswith("f32") else "bfloat16"

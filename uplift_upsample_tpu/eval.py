@@ -74,7 +74,7 @@ def make_test_step(model, variables, flip_tta: bool, flip_lr_indices,
         # relative drift vs f32 — fine for throughput work, not for reporting
         # MPJPE); "high" = bf16x3 dots everywhere (~1e-5 relative, holds the
         # 0.1 mm parity bar with margin); "highest" = full f32.
-        sp_prec = {"default": HIGH3, "high": HIGH3,
+        sp_prec = {"default": jax.lax.Precision.DEFAULT, "high": HIGH3,
                    "highest": jax.lax.Precision.HIGHEST}[precision]
         tm_prec = {"default": jax.lax.Precision.DEFAULT, "high": HIGH3,
                    "highest": jax.lax.Precision.HIGHEST}[precision]

@@ -22,7 +22,8 @@ from .uplift_upsample import UpliftUpsampleTransformer
 
 def bench_forward(model: UpliftUpsampleTransformer, variables, x2d_masked,
                   stride_mask, *, spatial_precision, temporal_precision,
-                  stacked_temporal=None, temporal_impl: str = "v3"):
+                  stacked_temporal=None, temporal_impl: str = "v3",
+                  temporal_wpt: int = 4):
     """Central-frame output of the fused eval path.
 
     x2d_masked: (B, N, 17, 2) already masked at non-keyframes;
@@ -55,7 +56,7 @@ def bench_forward(model: UpliftUpsampleTransformer, variables, x2d_masked,
             y, stacked_temporal, inv_mask, num_blocks=model.temporal_depth,
             num_heads=model.num_heads, first_masked_blocks=fmb,
             activation="relu", weights_dtype=jnp.float32,
-            precision=temporal_precision)
+            precision=temporal_precision, windows_per_tile=temporal_wpt)
     else:
         y = fused_temporal_stack(
             y, stacked_temporal, inv_mask, num_blocks=model.temporal_depth,
