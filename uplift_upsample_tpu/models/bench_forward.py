@@ -50,13 +50,33 @@ def bench_forward(model: UpliftUpsampleTransformer, variables, x2d_masked,
         stacked_temporal = stack_temporal_params(params, model.temporal_depth)
     fmb = (model.first_strided_token_attention_layer
            if model.has_strided_input else 0)
+    # Strided block 1 merges into the temporal kernel as an epilogue when the
+    # geometry allows (one grid pass instead of two + no transpose pair);
+    # blocks 2+ and head2 stay in XLA.
+    fuse_strided = (len(model.strides) > 0 and model.temporal_depth > 0
+                    and model.paddings is not None
+                    and tuple(model.paddings[0]) == (0, 0)
+                    and temporal_impl == "v3")
     if temporal_impl == "v3":
         from ..ops.pallas_temporal_v3 import fused_temporal_stack_v3
+        epilogue, ep_ops = None, ()
+        if fuse_strided:
+            from ..ops.pallas_strided import (_OP_ORDER,
+                                              make_strided_b1_epilogue,
+                                              stack_strided_block1_params)
+            sops = stack_strided_block1_params(params, model.num_frames,
+                                               weights_dtype=jnp.float32)
+            ep_ops = tuple(sops[name] for name in _OP_ORDER)
+            s_pad = -(-model.num_frames // 8) * 8
+            epilogue = make_strided_b1_epilogue(
+                model.num_heads, temporal_wpt, s_pad,
+                model.temporal_d_model)
         y = fused_temporal_stack_v3(
             y, stacked_temporal, inv_mask, num_blocks=model.temporal_depth,
             num_heads=model.num_heads, first_masked_blocks=fmb,
             activation="relu", weights_dtype=jnp.float32,
-            precision=temporal_precision, windows_per_tile=temporal_wpt)
+            precision=temporal_precision, windows_per_tile=temporal_wpt,
+            epilogue=epilogue, epilogue_ops=ep_ops)
     else:
         y = fused_temporal_stack(
             y, stacked_temporal, inv_mask, num_blocks=model.temporal_depth,
@@ -64,23 +84,10 @@ def bench_forward(model: UpliftUpsampleTransformer, variables, x2d_masked,
             precision=temporal_precision, activation="relu",
             attn_mode="batched")
 
-    # Fused first strided block (the dominant one: attention over all N
-    # frames) when the geometry allows; blocks 2+ and head2 stay in XLA.
-    fuse_strided = (len(model.strides) > 0 and model.temporal_depth > 0
-                    and model.paddings is not None
-                    and tuple(model.paddings[0]) == (0, 0)
-                    and temporal_impl == "v3")
     if fuse_strided:
-        from ..ops.pallas_strided import (fused_strided_block1,
-                                          stack_strided_block1_params)
-        ops = stack_strided_block1_params(params, model.num_frames,
-                                          weights_dtype=jnp.float32)
-        out = fused_strided_block1(y, ops, num_heads=model.num_heads,
-                                   weights_dtype=jnp.float32,
-                                   precision=temporal_precision)
         s0 = model.strides[0]
         n_out = (model.num_frames - 3) // s0 + 1
-        y = out[:, : (n_out - 1) * s0 + 1: s0]
+        y = y[:, : (n_out - 1) * s0 + 1: s0]
         tail = model.clone(temporal_input=True, strided_entry=1)
     else:
         tail = model.clone(temporal_input=True)

@@ -212,3 +212,49 @@ def fused_strided_block1(x: jax.Array, operands: Dict, *, num_heads: int,
         out_shape=jax.ShapeDtypeStruct((n_tiles, c, r), jnp.float32),
     )(x_t, blkdiag, padrow, ones_row, *ops)
     return out.transpose(0, 2, 1).reshape(b, s, c)
+
+
+def make_strided_b1_epilogue(num_heads: int, wpt: int, s: int, c: int):
+    """Epilogue for `fused_temporal_stack_v3`: runs strided block 1 in the
+    same kernel invocation (saves one full grid pass + a transpose pair).
+
+    Receives the temporal stack output x (C, R) in-kernel and the operands of
+    `stack_strided_block1_params` (in _OP_ORDER); returns the pre-selection
+    output out[:, u] = x[:, u+1] + conv(h)[:, u] + bias (valid at u = s0*t).
+    """
+    depth = c // num_heads
+    scale_q = np.float32(1.0 / np.sqrt(depth))
+
+    def shl(a, j):
+        if j == 0:
+            return a
+        return jnp.concatenate([a[:, j:], jnp.zeros((a.shape[0], j),
+                                                    a.dtype)], axis=1)
+
+    def epilogue(x, ep_refs, ln, ones_row, dot, dot_tt, dot_nt, padmask):
+        (ln1_g, ln1_b, wqkv, bqkv, wp, bp, ln2_g, ln2_b,
+         w1, b1, wc0, wc1, wc2, bc, pe) = ep_refs
+        pe_t = jnp.concatenate([pe[:].astype(jnp.float32)] * wpt, axis=1)
+        x = x + pe_t
+        y = ln(x, ones_row, ln1_g[:], ln1_b[:], 1e-5)
+        qkv = dot(wqkv[:].astype(jnp.float32), y) + bqkv[:]
+        ctx_parts = []
+        for h in range(num_heads):
+            qh = qkv[h * depth:(h + 1) * depth] * scale_q
+            kh = qkv[c + h * depth: c + (h + 1) * depth]
+            vh = qkv[2 * c + h * depth: 2 * c + (h + 1) * depth]
+            logits = dot_tt(qh, kh) + padmask
+            m = jnp.max(logits, axis=1, keepdims=True)
+            ex = jnp.exp(logits - m)
+            wgt = ex / jnp.sum(ex, axis=1, keepdims=True)
+            ctx_parts.append(dot_nt(vh, wgt))
+        ctx = jnp.concatenate(ctx_parts, axis=0)
+        x = x + dot(wp[:].astype(jnp.float32), ctx) + bp[:]
+        z = ln(x, ones_row, ln2_g[:], ln2_b[:], 1e-5)
+        h1 = jnp.maximum(dot(w1[:].astype(jnp.float32), z) + b1[:], 0.0)
+        conv = dot(wc0[:].astype(jnp.float32), h1)
+        conv += shl(dot(wc1[:].astype(jnp.float32), h1), 1)
+        conv += shl(dot(wc2[:].astype(jnp.float32), h1), 2)
+        return shl(x, 1) + conv + bc[:]
+
+    return epilogue

@@ -70,7 +70,8 @@ def _dot_maker(dims, precision):
 def _make_kernel_v3(num_blocks: int, wpt: int, s: int, c: int, hidden: int,
                     num_heads: int, first_masked_blocks: int,
                     activation: str, precision=jax.lax.Precision.DEFAULT,
-                    attn_mode: str = "full"):
+                    attn_mode: str = "full", num_epilogue_refs: int = 0,
+                    epilogue=None):
     depth = c // num_heads
     scale_q = np.float32(1.0 / np.sqrt(depth))
     r = wpt * s
@@ -90,7 +91,8 @@ def _make_kernel_v3(num_blocks: int, wpt: int, s: int, c: int, hidden: int,
         return xc / jnp.sqrt(var + eps) * gamma + beta
 
     def kernel(*refs):
-        # refs: x, blkdiag, keyrow, padrow, ones, then 12 per block, then out
+        # refs: x, blkdiag, keyrow, padrow, ones, then 12 per block, then
+        # `num_epilogue_refs` epilogue operands, then out.
         # Grid-tiled operands are 3D (tile, C, R) with block (1, C, R): R is
         # not 128-divisible, so blocks must EQUAL the array's trailing dims
         # (the Mosaic block-shape rule); the leading axis is the grid.
@@ -157,6 +159,12 @@ def _make_kernel_v3(num_blocks: int, wpt: int, s: int, c: int, hidden: int,
                 from .pallas_spatial import _erf
                 z = 0.5 * z * (1.0 + _erf(z * np.float32(1.0 / np.sqrt(2.0))))
             x = x + dot(w2[:].astype(jnp.float32), z) + b2[:]
+        if epilogue is not None:
+            ep_refs = refs[5 + 12 * num_blocks: 5 + 12 * num_blocks
+                           + num_epilogue_refs]
+            padmask = blkdiag_ref[:] + padrow_ref[0]
+            x = epilogue(x, ep_refs, ln, ones_row, dot, dot_tt, dot_nt,
+                         padmask)
         o_ref[0] = x
 
     return kernel
@@ -189,7 +197,8 @@ def _transposed_operands(stacked: Dict, num_blocks: int, weights_dtype):
 
 @functools.partial(jax.jit, static_argnames=(
     "num_blocks", "num_heads", "first_masked_blocks", "windows_per_tile",
-    "activation", "weights_dtype", "precision", "attn_mode", "token_pad_to"))
+    "activation", "weights_dtype", "precision", "attn_mode", "token_pad_to",
+    "epilogue"))
 def fused_temporal_stack_v3(x: jax.Array, stacked: Dict,
                             key_mask: Optional[jax.Array] = None, *,
                             num_blocks: int, num_heads: int,
@@ -200,7 +209,9 @@ def fused_temporal_stack_v3(x: jax.Array, stacked: Dict,
                             precision=jax.lax.Precision.DEFAULT,
                             attn_mode: str = "full",
                             token_pad_to: int = 0,
-                            prepped_ops=None) -> jax.Array:
+                            prepped_ops=None,
+                            epilogue=None,
+                            epilogue_ops=()) -> jax.Array:
     """x: (B, S, C) → (B, S, C) through the fused transformer stack.
 
     key_mask: (B, S), 1/True = blocked key, applied to the first
@@ -270,9 +281,13 @@ def fused_temporal_stack_v3(x: jax.Array, stacked: Dict,
     done = 0
     while done < num_blocks:
         n_grp = min(group, num_blocks - done)
+        last_group = done + n_grp >= num_blocks
+        ep = epilogue if last_group else None
+        ep_ops = list(epilogue_ops) if (last_group and epilogue is not None) else []
         fmb_grp = max(0, min(n_grp, first_masked_blocks - done))
         kernel = _make_kernel_v3(n_grp, wpt, s, c, hidden, num_heads,
-                                 fmb_grp, activation, precision, attn_mode)
+                                 fmb_grp, activation, precision, attn_mode,
+                                 num_epilogue_refs=len(ep_ops), epilogue=ep)
         grp_ops = block_ops[12 * done: 12 * (done + n_grp)]
         in_specs = [
             pl.BlockSpec((1, c, r), lambda i: (i, 0, 0),
@@ -283,7 +298,7 @@ def fused_temporal_stack_v3(x: jax.Array, stacked: Dict,
             pl.BlockSpec((1, 1, r), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             full(ones_row),
-        ] + [full(op) for op in grp_ops]
+        ] + [full(op) for op in grp_ops] + [full(op) for op in ep_ops]
         out = pl.pallas_call(
             kernel,
             grid=(n_tiles,),
@@ -296,6 +311,6 @@ def fused_temporal_stack_v3(x: jax.Array, stacked: Dict,
             # streaming; raise the cap (proven safe by the backward kernel).
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024),
-        )(out, blkdiag, keyrow, padrow_full, ones_row, *grp_ops)
+        )(out, blkdiag, keyrow, padrow_full, ones_row, *grp_ops, *ep_ops)
         done += n_grp
     return out.transpose(0, 2, 1).reshape(b, s, c)[:, :s_in]
