@@ -124,6 +124,17 @@ def run_variant(name, model, variables, x, sm):
             spatial_precision=to_prec[sp_name],
             temporal_precision=to_prec[tm_name], temporal_impl=impl)))
 
+    if name.startswith("rung_"):
+        # The actual shared eval/bench path at a precision rung
+        from uplift_upsample_tpu.eval import make_test_step
+        from uplift_upsample_tpu.data.keypoint_order import H36MOrder17P
+        step = make_test_step(model, variables, flip_tta=False,
+                              flip_lr_indices=H36MOrder17P.flip_lr_indices(),
+                              fused="full", precision=name.split("_", 1)[1])
+        # make_test_step masks internally; undo the pre-masking double-apply
+        _, central = step(x, sm)
+        return np.asarray(jax.device_get(central))
+
     raise SystemExit(f"unknown variant {name}")
 
 
