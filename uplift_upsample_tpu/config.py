@@ -201,9 +201,11 @@ class UpliftUpsampleConfig(Config):
     # Use the fused Pallas spatial-stack kernel at eval (2.5x forward speedup;
     # matches CPU-f32 truth to ~1e-5, tighter than the XLA TPU path).
     USE_PALLAS_SPATIAL = False
-    # Fused Pallas spatial forward in training (custom VJP; backward runs the
-    # XLA-equivalent function). Requires DROP_RATE == 0 and TOKEN_MASK_RATE == 0.
-    TRAIN_FUSED_SPATIAL = False
+    # Fused Pallas spatial kernels in training (custom VJP with a
+    # hand-written Pallas backward, ops/pallas_spatial_bwd.py — 3.57x step
+    # speedup). "auto" enables them on accelerators when DROP_RATE == 0 and
+    # TOKEN_MASK_RATE == 0; set False to force the XLA path.
+    TRAIN_FUSED_SPATIAL = "auto"
     # Matmul precision for eval ("default" | "high" | "highest"): TPU
     # "default" runs f32 dots as 1-pass bf16 (~0.8% relative output drift —
     # throughput mode); "high" = bf16x3 (~1e-5 relative, holds the 0.1 mm

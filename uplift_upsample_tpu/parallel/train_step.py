@@ -101,7 +101,12 @@ def make_loss_fn(model, config: UpliftUpsampleConfig, dataset_name: str = "h36m"
     # Fused Pallas spatial forward with custom VJP (XLA backward). Requires
     # no spatial-stage dropout (shipped configs have DROP_RATE=0); stochastic
     # depth is handled via precomputed per-frame scales.
-    fused_spatial = (bool(getattr(config, "TRAIN_FUSED_SPATIAL", False))
+    tfs = getattr(config, "TRAIN_FUSED_SPATIAL", "auto")
+    if tfs == "auto":
+        # Pallas train kernels on accelerators; XLA on CPU (interpret mode
+        # would be orders of magnitude slower there)
+        tfs = jax.devices()[0].platform not in ("cpu",)
+    fused_spatial = (bool(tfs)
                      and model.spatial_depth > 0 and config.DROP_RATE == 0
                      and config.TOKEN_MASK_RATE == 0)
     tail = model.clone(spatial_input=True) if fused_spatial else None
