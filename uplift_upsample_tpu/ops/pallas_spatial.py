@@ -77,11 +77,14 @@ def _dense_per_joint(x, w_t, bias, p_tokens, precision):
             x_lo = xp - x_hi
             dims = (((1,), (0,)), ((), ()))
             y = jax.lax.dot_general(w_hi, x_hi, dims,
-                                    preferred_element_type=jnp.float32)
+                                    preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.DEFAULT)
             y += jax.lax.dot_general(w_hi, x_lo, dims,
-                                     preferred_element_type=jnp.float32)
+                                     preferred_element_type=jnp.float32,
+                                     precision=jax.lax.Precision.DEFAULT)
             y += jax.lax.dot_general(w_lo, x_hi, dims,
-                                     preferred_element_type=jnp.float32)
+                                     preferred_element_type=jnp.float32,
+                                     precision=jax.lax.Precision.DEFAULT)
             return y
     else:
         def dot(xp):
@@ -112,11 +115,14 @@ def _dense_per_joint_t(x, w_t, bias, p_tokens, num_heads, depth, precision):
             x_lo = xp - x_hi
             dims = (((1,), (0,)), ((), ()))
             y = jax.lax.dot_general(w_hi, x_hi, dims,
-                                    preferred_element_type=jnp.float32)
+                                    preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.DEFAULT)
             y += jax.lax.dot_general(w_hi, x_lo, dims,
-                                     preferred_element_type=jnp.float32)
+                                     preferred_element_type=jnp.float32,
+                                     precision=jax.lax.Precision.DEFAULT)
             y += jax.lax.dot_general(w_lo, x_hi, dims,
-                                     preferred_element_type=jnp.float32)
+                                     preferred_element_type=jnp.float32,
+                                     precision=jax.lax.Precision.DEFAULT)
             return y
     else:
         def dot(xp):

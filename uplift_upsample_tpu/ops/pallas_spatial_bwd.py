@@ -53,11 +53,14 @@ def _make_dots(precision):
             x_lo = x - x_hi
             dims = (((1,), (0,)), ((), ()))
             y = jax.lax.dot_general(w_hi, x_hi, dims,
-                                    preferred_element_type=jnp.float32)
+                                    preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.DEFAULT)
             y += jax.lax.dot_general(w_hi, x_lo, dims,
-                                     preferred_element_type=jnp.float32)
+                                     preferred_element_type=jnp.float32,
+                                     precision=jax.lax.Precision.DEFAULT)
             y += jax.lax.dot_general(w_lo, x_hi, dims,
-                                     preferred_element_type=jnp.float32)
+                                     preferred_element_type=jnp.float32,
+                                     precision=jax.lax.Precision.DEFAULT)
             return y
 
         def grad_dot(a, b):
@@ -67,11 +70,14 @@ def _make_dots(precision):
             b_lo = b - b_hi
             dims = (((1,), (1,)), ((), ()))
             y = jax.lax.dot_general(a_hi, b_hi, dims,
-                                    preferred_element_type=jnp.float32)
+                                    preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.DEFAULT)
             y += jax.lax.dot_general(a_hi, b_lo, dims,
-                                     preferred_element_type=jnp.float32)
+                                     preferred_element_type=jnp.float32,
+                                     precision=jax.lax.Precision.DEFAULT)
             y += jax.lax.dot_general(a_lo, b_hi, dims,
-                                     preferred_element_type=jnp.float32)
+                                     preferred_element_type=jnp.float32,
+                                     precision=jax.lax.Precision.DEFAULT)
             return y
         return fwd_dot, grad_dot
 

@@ -52,11 +52,14 @@ def _dot_maker(dims, precision):
             b_hi = b.astype(jnp.bfloat16).astype(jnp.float32)
             b_lo = b - b_hi
             y = jax.lax.dot_general(a_hi, b_hi, dims,
-                                    preferred_element_type=jnp.float32)
+                                    preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.DEFAULT)
             y += jax.lax.dot_general(a_hi, b_lo, dims,
-                                     preferred_element_type=jnp.float32)
+                                     preferred_element_type=jnp.float32,
+                                     precision=jax.lax.Precision.DEFAULT)
             y += jax.lax.dot_general(a_lo, b_hi, dims,
-                                     preferred_element_type=jnp.float32)
+                                     preferred_element_type=jnp.float32,
+                                     precision=jax.lax.Precision.DEFAULT)
             return y
         return dot
 
