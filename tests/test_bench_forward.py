@@ -64,3 +64,28 @@ def test_temporal_input_splice_alone():
     full, central = tail.apply(variables, y, stride_mask=sm, training=False)
     assert central.shape == (b, 17, 3)
     assert full is not None and full.shape == (b, n, 17, 3)
+
+
+def test_bench_forward_padded_strides_fallback():
+    """h36m_81-style geometry (padding (1,1) on block 1): the strided-epilogue
+    fusion must fall back gracefully and still match the model."""
+    config = _flagship_small()
+    config.update_from({"STRIDES": [4, 4, 3],
+                        "PADDINGS": [[1, 1], [0, 0], [0, 0]],
+                        "SEQUENCE_LENGTH": 41, "MASK_STRIDE": [4, 10, 20]})
+    model = build_uplift_upsample_transformer(config)
+    variables = init_model_params(model, seed=5)
+
+    rng = np.random.default_rng(5)
+    b, n = 4, config.SEQUENCE_LENGTH
+    sm = jnp.asarray((np.arange(n) % 4 == 0))[None].repeat(b, axis=0)
+    x = jnp.asarray(rng.normal(size=(b, n, 17, 2)).astype(np.float32) * 0.3)
+    xm = x * sm[:, :, None, None].astype(x.dtype)
+
+    _, ref = model.apply(variables, xm, stride_mask=sm, training=False)
+    with pltpu.force_tpu_interpret_mode():
+        got = bench_forward(model, variables, xm, sm,
+                            spatial_precision=jax.lax.Precision.HIGHEST,
+                            temporal_precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-5, rtol=1e-4)
