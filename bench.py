@@ -77,6 +77,7 @@ def bench_train(args):
         "SCHEDULE_PARAMS": {"initial_learning_rate": 4e-5, "decay_steps": 6000,
                             "decay_rate": 0.99, "staircase": True},
         "TRAIN_FUSED_SPATIAL": args.train_fused,
+        "TRAIN_FUSED_TEMPORAL": args.train_fused_temporal,
     })
     model = build_uplift_upsample_transformer(config)
     params = init_model_params(model, seed=0)["params"]
@@ -133,7 +134,8 @@ def bench_train(args):
         "vs_baseline": round(wps / 5000.0, 3),
     }))
     print(f"# train device={jax.devices()[0].device_kind} batch={args.batch} "
-          f"ms/step={per_step * 1e3:.1f} fused={args.train_fused}", file=sys.stderr)
+          f"ms/step={per_step * 1e3:.1f} fused={args.train_fused} "
+          f"fused_temporal={args.train_fused_temporal}", file=sys.stderr)
 
 
 def main():
@@ -154,7 +156,11 @@ def main():
     parser.add_argument("--no-train-fused", dest="train_fused", action="store_false",
                         help="with --train: disable TRAIN_FUSED_SPATIAL "
                              "(Pallas fwd+bwd spatial kernels)")
-    parser.set_defaults(fused_spatial=True, train_fused=True)
+    parser.add_argument("--train-fused-temporal", action="store_true",
+                        help="with --train: also run the fused temporal "
+                             "train blocks (ops/pallas_temporal_bwd.py)")
+    parser.set_defaults(fused_spatial=True, train_fused=True,
+                        train_fused_temporal=False)
     args = parser.parse_args()
 
     if args.train:

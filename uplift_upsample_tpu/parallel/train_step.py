@@ -109,14 +109,51 @@ def make_loss_fn(model, config: UpliftUpsampleConfig, dataset_name: str = "h36m"
     fused_spatial = (bool(tfs)
                      and model.spatial_depth > 0 and config.DROP_RATE == 0
                      and config.TOKEN_MASK_RATE == 0)
+    # Fused Pallas temporal blocks in training (custom VJP fwd+bwd,
+    # ops/pallas_temporal_bwd.py). Same eligibility rules; off by default
+    # until measured on-chip (TRAIN_FUSED_TEMPORAL).
+    fused_temporal = (bool(getattr(config, "TRAIN_FUSED_TEMPORAL", False))
+                      and fused_spatial and model.temporal_depth > 0)
     tail = model.clone(spatial_input=True) if fused_spatial else None
+    tail_t = (model.clone(temporal_input=True) if fused_temporal else None)
     if fused_spatial:
-        dpr_top = (config.DROP_PATH_RATE[0]
-                   if isinstance(config.DROP_PATH_RATE, (list, tuple))
-                   else config.DROP_PATH_RATE)
-        depth = model.spatial_depth
-        dp_rates = [0.0] * depth if depth <= 1 else \
-            [dpr_top * i / (depth - 1) for i in range(depth)]
+        def _rates(stage, depth):
+            rate = config.DROP_PATH_RATE
+            top = (rate[stage] if isinstance(rate, (list, tuple)) else rate)
+            return ([0.0] * depth if depth <= 1 else
+                    [top * i / (depth - 1) for i in range(depth)])
+        dp_rates = _rates(0, model.spatial_depth)
+        dp_rates_t = _rates(1, model.temporal_depth) if fused_temporal else []
+
+    def _temporal_train(params, y, stride_mask, rngs):
+        """s2t dense + strided-token + PE (XLA) → fused train blocks → tail."""
+        from ..ops.pallas_temporal_bwd import fused_temporal_block_train
+        fc = params["spatial_to_temporal_fc"]
+        y = y @ fc["kernel"] + fc["bias"]
+        inv_mask = jnp.zeros((y.shape[0], y.shape[1]), jnp.float32)
+        if model.has_strided_input:
+            sm = stride_mask.astype(y.dtype)[..., None]
+            y = sm * y + (1.0 - sm) * params["strided_input_token"][None, None, :]
+            inv_mask = 1.0 - stride_mask.astype(jnp.float32)
+        y = y + params["temporal_pe"]
+        fmb = (model.first_strided_token_attention_layer
+               if model.has_strided_input else 0)
+        zeros_mask = jnp.zeros_like(inv_mask)
+        for i in range(model.temporal_depth):
+            key = jax.random.fold_in(rngs["droppath"], 100 + i)
+            rate = dp_rates_t[i]
+            if rate == 0.0:
+                dp = jnp.ones((2, y.shape[0]), jnp.float32)
+            else:
+                keep = 1.0 - rate
+                dp = jnp.floor(keep + jax.random.uniform(
+                    key, (2, y.shape[0]))) / keep
+            km = inv_mask if i < fmb else zeros_mask
+            y = fused_temporal_block_train(
+                y, params[f"temporal_block_{i + 1}"], km, dp,
+                model.num_heads, 4, jnp.float32)
+        return tail_t.apply({"params": params}, y, stride_mask=stride_mask,
+                            training=True, rngs=rngs)
 
     def apply_model(params, x, stride_mask, rngs):
         if fused_spatial:
@@ -135,6 +172,8 @@ def make_loss_fn(model, config: UpliftUpsampleConfig, dataset_name: str = "h36m"
                                     model.num_heads)
             sp = y[:, :, :frames].transpose(2, 0, 1).reshape(
                 bb, nn_, pp * model.spatial_d_model)
+            if fused_temporal:
+                return _temporal_train(params, sp, stride_mask, rngs)
             if model.has_strided_input:
                 return tail.apply({"params": params}, sp, stride_mask=stride_mask,
                                   training=True, rngs=rngs)
