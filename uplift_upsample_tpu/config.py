@@ -207,9 +207,10 @@ class UpliftUpsampleConfig(Config):
     # TOKEN_MASK_RATE == 0; set False to force the XLA path.
     TRAIN_FUSED_SPATIAL = "auto"
     # Fused Pallas temporal blocks in training (Pallas fwd + hand-written
-    # bwd, ops/pallas_temporal_bwd.py). Gradient-parity tested; off by
-    # default until measured on-chip.
-    TRAIN_FUSED_TEMPORAL = False
+    # bwd, ops/pallas_temporal_bwd.py). Gradient-parity tested; measured
+    # 79.8 ms/step vs 82.2 spatial-only at B=512. "auto" follows
+    # TRAIN_FUSED_SPATIAL's accelerator gating.
+    TRAIN_FUSED_TEMPORAL = "auto"
     # Matmul precision for eval ("default" | "high" | "highest"): TPU
     # "default" runs f32 dots as 1-pass bf16 (~0.8% relative output drift —
     # throughput mode); "high" = bf16x3 (~1e-5 relative, holds the 0.1 mm

@@ -112,7 +112,10 @@ def make_loss_fn(model, config: UpliftUpsampleConfig, dataset_name: str = "h36m"
     # Fused Pallas temporal blocks in training (custom VJP fwd+bwd,
     # ops/pallas_temporal_bwd.py). Same eligibility rules; off by default
     # until measured on-chip (TRAIN_FUSED_TEMPORAL).
-    fused_temporal = (bool(getattr(config, "TRAIN_FUSED_TEMPORAL", False))
+    tft = getattr(config, "TRAIN_FUSED_TEMPORAL", "auto")
+    if tft == "auto":
+        tft = jax.devices()[0].platform not in ("cpu",)
+    fused_temporal = (bool(tft)
                       and fused_spatial and model.temporal_depth > 0)
     tail = model.clone(spatial_input=True) if fused_spatial else None
     tail_t = (model.clone(temporal_input=True) if fused_temporal else None)
