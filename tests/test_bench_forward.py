@@ -27,6 +27,7 @@ def _flagship_small():
     return config
 
 
+@pytest.mark.slow
 def test_bench_forward_matches_model():
     config = _flagship_small()
     model = build_uplift_upsample_transformer(config)
@@ -34,6 +35,29 @@ def test_bench_forward_matches_model():
 
     rng = np.random.default_rng(0)
     b, n = 4, config.SEQUENCE_LENGTH
+    sm = jnp.asarray((np.arange(n) % 5 == 0))[None].repeat(b, axis=0)
+    x = jnp.asarray(rng.normal(size=(b, n, 17, 2)).astype(np.float32) * 0.3)
+    xm = x * sm[:, :, None, None].astype(x.dtype)
+
+    _, ref = model.apply(variables, xm, stride_mask=sm, training=False)
+    with pltpu.force_tpu_interpret_mode():
+        got = bench_forward(model, variables, xm, sm,
+                            spatial_precision=jax.lax.Precision.HIGHEST,
+                            temporal_precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-5, rtol=1e-4)
+
+
+def test_bench_forward_odd_batch():
+    """B not divisible by temporal_wpt=4: the kernel halves windows_per_tile
+    and the strided epilogue must follow (regression: PE-tiling shape
+    mismatch at trace time with B=2)."""
+    config = _flagship_small()
+    model = build_uplift_upsample_transformer(config)
+    variables = init_model_params(model, seed=3)
+
+    rng = np.random.default_rng(3)
+    b, n = 2, config.SEQUENCE_LENGTH
     sm = jnp.asarray((np.arange(n) % 5 == 0))[None].repeat(b, axis=0)
     x = jnp.asarray(rng.normal(size=(b, n, 17, 2)).astype(np.float32) * 0.3)
     xm = x * sm[:, :, None, None].astype(x.dtype)
@@ -66,6 +90,7 @@ def test_temporal_input_splice_alone():
     assert full is not None and full.shape == (b, n, 17, 3)
 
 
+@pytest.mark.slow
 def test_bench_forward_padded_strides_fallback():
     """h36m_81-style geometry (padding (1,1) on block 1): the strided-epilogue
     fusion must fall back gracefully and still match the model."""

@@ -183,9 +183,11 @@ def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d
 
     fused_mode = getattr(config, "EVAL_FUSED", "auto")
     if fused_mode == "auto":
-        # Fused Pallas kernels on real accelerators; plain XLA on CPU (where
-        # Pallas only has the slow interpreter and XLA f32 is already exact).
-        if jax.devices()[0].platform == "cpu":
+        # Fused Pallas kernels only where Mosaic can lower them (TPU); plain
+        # XLA elsewhere (CPU has only the slow interpreter and is already
+        # exact f32; GPU cannot lower pltpu kernels).
+        from .utils.backend import is_tpu_backend
+        if not is_tpu_backend():
             fused_mode = ("spatial"
                           if getattr(config, "USE_PALLAS_SPATIAL", False)
                           else "none")

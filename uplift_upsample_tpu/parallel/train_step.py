@@ -101,20 +101,24 @@ def make_loss_fn(model, config: UpliftUpsampleConfig, dataset_name: str = "h36m"
     # Fused Pallas spatial forward with custom VJP (XLA backward). Requires
     # no spatial-stage dropout (shipped configs have DROP_RATE=0); stochastic
     # depth is handled via precomputed per-frame scales.
+    from ..utils.backend import is_tpu_backend
     tfs = getattr(config, "TRAIN_FUSED_SPATIAL", "auto")
     if tfs == "auto":
-        # Pallas train kernels on accelerators; XLA on CPU (interpret mode
-        # would be orders of magnitude slower there)
-        tfs = jax.devices()[0].platform not in ("cpu",)
+        # Pallas train kernels only where Mosaic can lower them (TPU); XLA
+        # elsewhere (CPU interpret mode is orders of magnitude slower, GPU
+        # can't lower pltpu at all).
+        tfs = is_tpu_backend()
+    # The Pallas kernels implement no attention dropout, so fused paths are
+    # only eligible when every dropout knob is 0 (all shipped configs).
     fused_spatial = (bool(tfs)
                      and model.spatial_depth > 0 and config.DROP_RATE == 0
+                     and config.ATTENTION_DROP_RATE == 0
                      and config.TOKEN_MASK_RATE == 0)
     # Fused Pallas temporal blocks in training (custom VJP fwd+bwd,
-    # ops/pallas_temporal_bwd.py). Same eligibility rules; off by default
-    # until measured on-chip (TRAIN_FUSED_TEMPORAL).
+    # ops/pallas_temporal_bwd.py). Same eligibility rules.
     tft = getattr(config, "TRAIN_FUSED_TEMPORAL", "auto")
     if tft == "auto":
-        tft = jax.devices()[0].platform not in ("cpu",)
+        tft = is_tpu_backend()
     fused_temporal = (bool(tft)
                       and fused_spatial and model.temporal_depth > 0)
     tail = model.clone(spatial_input=True) if fused_spatial else None
