@@ -47,6 +47,7 @@ def test_eval_parity(mask_stride):
                 err_msg=f"{section}/{metric} (mask_stride={mask_stride})")
 
 
+@pytest.mark.slow
 def test_eval_parity_fused_full():
     """The benchmark configuration (EVAL_FUSED=full) through the eval harness.
 

@@ -61,6 +61,7 @@ def _run_steps(config, n_steps=2):
     return float(loss), grads
 
 
+@pytest.mark.slow
 def test_fused_train_grads_match_flax():
     with pltpu.force_tpu_interpret_mode():
         loss_f, grads_f = _run_steps(_config(TRAIN_FUSED_SPATIAL=True))
@@ -77,6 +78,7 @@ def test_fused_train_grads_match_flax():
                                    atol=5e-5, rtol=1e-3, err_msg=key)
 
 
+@pytest.mark.slow
 def test_fused_train_step_with_droppath_smoke():
     config = _config(TRAIN_FUSED_SPATIAL=True, DROP_PATH_RATE=[0.2, 0.0, 0.0])
     model = build_uplift_upsample_transformer(config)

@@ -51,6 +51,7 @@ def _batch(config, seed=0):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_dp_train_step_matches_single_device():
     config = _tiny_config()
     model = build_uplift_upsample_transformer(config)

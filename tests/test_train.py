@@ -122,6 +122,7 @@ def _tiny_config():
 
 @pytest.mark.skipif(not os.path.exists(os.path.join(SYNTH_DIR, "data_3d_h36m.npz")),
                     reason="synthetic npz missing")
+@pytest.mark.slow
 def test_train_smoke_and_resume(tmp_path):
     """Two-epoch training on synthetic data, then resume for a third epoch."""
     from uplift_upsample_tpu.train import train_and_validate
@@ -168,6 +169,7 @@ def test_train_smoke_and_resume(tmp_path):
 
 @pytest.mark.skipif(not os.path.exists(os.path.join(SYNTH_DIR, "amass")),
                     reason="synthetic amass missing")
+@pytest.mark.slow
 def test_train_amass_smoke(tmp_path):
     """End-to-end AMASS pre-training path: cam18 batches → device-side
     world→cam + 2D projection inside the jitted step, frame-wise validation,
