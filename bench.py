@@ -229,9 +229,15 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(frames_per_sec / BASELINE_FRAMES_PER_SEC, 3),
     }))
+    # Label the ACTUAL executed path: `fused` is the kernel pipeline mode
+    # (full = Pallas spatial + merged temporal/strided kernels), `precision`
+    # the matmul rung (PERF_NOTES.md). args.pallas only toggles the
+    # per-layer USE_PALLAS_ATTENTION flag, which the fused path supersedes.
     print(f"# device={jax.devices()[0].device_kind} batch={args.batch} "
           f"iters={args.iters} dtype={args.dtype} flip_tta={args.flip_tta} "
-          f"pallas={args.pallas} elapsed={elapsed:.3f}s", file=sys.stderr)
+          f"fused={'full' if args.fused_spatial else 'none'} "
+          f"precision={args.precision} elapsed={elapsed:.3f}s",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":
