@@ -67,11 +67,14 @@ def test_fused_temporal_stack_v2_matches_flax(fmb):
 
 
 @pytest.mark.parametrize("fmb", [0, 1])
-def test_fused_temporal_stack_v3_matches_flax(fmb):
+@pytest.mark.parametrize("attn_mode", ["full", "banded"])
+def test_fused_temporal_stack_v3_matches_flax(fmb, attn_mode):
     """v3 transposed-layout stack kernel vs 2 flax blocks.
 
     Weights kept f32 in the test: the production bf16 weight cast is a
     precision choice (equivalent to DEFAULT dots), not a correctness one.
+    attn_mode "banded" must be numerically equivalent to "full" (the band
+    softmax sees exactly the unmasked window logits).
     """
     from uplift_upsample_tpu.ops.pallas_temporal import stack_temporal_params
     from uplift_upsample_tpu.ops.pallas_temporal_v3 import fused_temporal_stack_v3
@@ -97,6 +100,7 @@ def test_fused_temporal_stack_v3_matches_flax(fmb):
         out = fused_temporal_stack_v3(x, stacked, key_mask, num_blocks=blocks,
                                       num_heads=heads, first_masked_blocks=fmb,
                                       windows_per_tile=4,
-                                      weights_dtype=jnp.float32)
+                                      weights_dtype=jnp.float32,
+                                      attn_mode=attn_mode)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=3e-5, rtol=1e-4)

@@ -87,7 +87,8 @@ def main():
             return central
         sec = device_timer(fn, x, sm)
     elif v.startswith("spatial_"):
-        # spatial_default | spatial_high3, optional _bf<block_f> suffix
+        # spatial_default | spatial_high3, optional _bf<block_f> suffix,
+        # optional bisect suffix: _qkvonly|_noattn|_logitsonly|_softmaxonly|_nomlp
         _, variables = build()
         from uplift_upsample_tpu.ops.pallas_spatial import HIGH3, spatial_stack_apply
         prec = HIGH3 if "high3" in v else jax.lax.Precision.DEFAULT
@@ -95,11 +96,16 @@ def main():
         for part in v.split("_"):
             if part.startswith("bf") and part[2:].isdigit():
                 block_f = int(part[2:])
+        bisect = "full"
+        for m in ("qkvonly", "noattn", "logitsonly", "softmaxonly", "nomlp"):
+            if v.endswith("_" + m):
+                bisect = {"logitsonly": "logits_only",
+                          "softmaxonly": "softmax_only"}.get(m, m)
 
         def fn(x):
             return spatial_stack_apply(variables["params"], x, num_blocks=4,
                                        num_heads=8, precision=prec,
-                                       block_f=block_f)
+                                       block_f=block_f, bisect=bisect)
         sec = device_timer(fn, x)
     elif v.startswith("tail_"):
         model, variables = build("float32" if v == "tail_f32" else "bfloat16")
@@ -184,11 +190,12 @@ def main():
         wdtype = jnp.float32 if "_f32w" in v else jnp.bfloat16
         spad = 96 if "_s96" in v else 0
         amode = "full"
-        for m in ("noattn", "logitsonly", "softmaxonly", "qkvonly", "nomlp"):
+        for m in ("noattn", "logitsonly", "softmaxonly", "qkvonly", "nomlp",
+                  "banded"):
             if v.endswith("_" + m):
                 amode = {"noattn": "none", "logitsonly": "logits_only",
                          "softmaxonly": "softmax_only", "qkvonly": "qkvonly",
-                         "nomlp": "nomlp"}[m]
+                         "nomlp": "nomlp", "banded": "banded"}[m]
         stacked = stack_temporal_params(variables["params"], 4)
 
         if "_nojit" in v:

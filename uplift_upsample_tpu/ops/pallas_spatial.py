@@ -142,7 +142,8 @@ def _dense_per_joint_t(x, w_t, bias, p_tokens, num_heads, depth, precision):
 
 def _make_kernel(num_blocks: int, p_tokens: int, c: int, hidden: int,
                  num_heads: int, mlp_gelu: bool, precision,
-                 have_droppath: bool = False, attn: str = "fma"):
+                 have_droppath: bool = False, attn: str = "fma",
+                 bisect: str = "full"):
     depth = c // num_heads
     scale = 1.0 / float(depth) ** 0.5
 
@@ -151,17 +152,26 @@ def _make_kernel(num_blocks: int, p_tokens: int, c: int, hidden: int,
         ctx_heads = []
         for h in range(num_heads):
             sl = slice(h * depth, (h + 1) * depth)
-            logits = None
-            for d in range(depth):
-                e = h * depth + d
-                qd = q[:, e, :][:, None, :]   # (P, 1, bt)
-                kd = k[:, e, :][None, :, :]   # (1, P, bt)
-                contrib = qd * kd
-                logits = contrib if logits is None else logits + contrib
-            logits = logits * scale
-            m = jnp.max(logits, axis=1, keepdims=True)
-            ex = jnp.exp(logits - m)
-            w = ex / jnp.sum(ex, axis=1, keepdims=True)  # (P, P, bt)
+            if bisect == "softmax_only":
+                # Perf bisection: skip the logits FMAs, softmax a cheap
+                # data-dependent broadcast instead.
+                logits = jnp.broadcast_to(q[:, h * depth, :][:, None, :],
+                                          (p_tokens, p_tokens, q.shape[-1]))
+            else:
+                logits = None
+                for d in range(depth):
+                    e = h * depth + d
+                    qd = q[:, e, :][:, None, :]   # (P, 1, bt)
+                    kd = k[:, e, :][None, :, :]   # (1, P, bt)
+                    contrib = qd * kd
+                    logits = contrib if logits is None else logits + contrib
+                logits = logits * scale
+            if bisect == "logits_only":
+                w = logits  # skip softmax, keep the ctx FMAs
+            else:
+                m = jnp.max(logits, axis=1, keepdims=True)
+                ex = jnp.exp(logits - m)
+                w = ex / jnp.sum(ex, axis=1, keepdims=True)  # (P, P, bt)
             ctx_h = None
             for kk in range(p_tokens):
                 piece = w[:, kk, :][:, None, :] * v[kk, sl, :][None, :, :]
@@ -223,7 +233,13 @@ def _make_kernel(num_blocks: int, p_tokens: int, c: int, hidden: int,
                 q = _dense_per_joint(y, wq_ref[blk].T, bq_ref[blk].reshape(c, 1), p_tokens, precision)
                 k = _dense_per_joint(y, wk_ref[blk].T, bk_ref[blk].reshape(c, 1), p_tokens, precision)
                 v = _dense_per_joint(y, wv_ref[blk].T, bv_ref[blk].reshape(c, 1), p_tokens, precision)
-                ctx = attention_fma(q, k, v)  # (P, C, bt)
+                if bisect == "qkvonly":  # LN + qkv dots only
+                    x = x + q + k + v
+                    continue
+                if bisect == "noattn":
+                    ctx = v
+                else:
+                    ctx = attention_fma(q, k, v)  # (P, C, bt)
 
             proj = _dense_per_joint(ctx, wp_ref[blk].T, bp_ref[blk].reshape(c, 1),
                                     p_tokens, precision)
@@ -232,6 +248,8 @@ def _make_kernel(num_blocks: int, p_tokens: int, c: int, hidden: int,
                 proj = proj * dp_ref[2 * blk, :][None, None, :]
             x = x + proj
 
+            if bisect == "nomlp":
+                continue
             g2 = ln2_g_ref[blk].reshape(c, 1)
             b2_ = ln2_b_ref[blk].reshape(c, 1)
             z = _layer_norm(x, g2, b2_, 1e-5)
@@ -277,13 +295,19 @@ def stack_spatial_params(params: Dict, num_blocks: int):
 
 
 @functools.partial(jax.jit, static_argnames=("num_blocks", "num_heads", "mlp_gelu",
-                                             "block_f", "precision", "attn"))
+                                             "block_f", "precision", "attn",
+                                             "bisect"))
 def fused_spatial_stack(x_t: jax.Array, stacked: Dict, *, num_blocks: int,
                         num_heads: int, mlp_gelu: bool = True,
                         block_f: int = 128,
                         precision=jax.lax.Precision.HIGHEST,
-                        droppath_scales=None, attn: str = "fma") -> jax.Array:
-    """x_t: (P, 2, F) transposed input → (P, C, F) spatial-stack output."""
+                        droppath_scales=None, attn: str = "fma",
+                        bisect: str = "full") -> jax.Array:
+    """x_t: (P, 2, F) transposed input → (P, C, F) spatial-stack output.
+
+    bisect: perf-bisection modes ("full" | "qkvonly" | "noattn" |
+    "logits_only" | "softmax_only" | "nomlp") — profiling only, wrong math.
+    """
     p_tokens, c_in, f = x_t.shape
     c = stacked["emb_w"].shape[1]
     hidden = stacked["w1"].shape[2]
@@ -292,7 +316,7 @@ def fused_spatial_stack(x_t: jax.Array, stacked: Dict, *, num_blocks: int,
 
     kernel = _make_kernel(num_blocks, p_tokens, c, hidden, num_heads, mlp_gelu,
                           precision, have_droppath=droppath_scales is not None,
-                          attn=attn)
+                          attn=attn, bisect=bisect)
 
     def full(shape):
         nd = len(shape)
@@ -323,7 +347,7 @@ def fused_spatial_stack(x_t: jax.Array, stacked: Dict, *, num_blocks: int,
 
 def spatial_stack_apply(params: Dict, x2d: jax.Array, *, num_blocks: int,
                         num_heads: int, block_f: int = 128,
-                        precision=HIGH3) -> jax.Array:
+                        precision=HIGH3, bisect: str = "full") -> jax.Array:
     """(B, N, P, 2) masked keypoints → (B, N, P·C) spatial output.
 
     Drop-in replacement for the model's spatial_transformation +
@@ -342,7 +366,7 @@ def spatial_stack_apply(params: Dict, x2d: jax.Array, *, num_blocks: int,
     stacked = stack_spatial_params(params, num_blocks)
     y = fused_spatial_stack(x_t, stacked, num_blocks=num_blocks,
                             num_heads=num_heads, block_f=block_f,
-                            precision=precision)  # (P, C, F_pad)
+                            precision=precision, bisect=bisect)  # (P, C, F_pad)
     c = y.shape[1]
     return y[:, :, :f].transpose(2, 0, 1).reshape(b, n, p * c)
 

@@ -258,3 +258,55 @@ def make_strided_b1_epilogue(num_heads: int, wpt: int, s: int, c: int):
         return shl(x, 1) + conv + bc[:]
 
     return epilogue
+
+
+def make_strided_b1_epilogue_banded(num_heads: int, wpt: int, s: int, c: int):
+    """Banded-attention variant of `make_strided_b1_epilogue` for
+    `fused_temporal_stack_v3(attn_mode="banded")`: per-window softmax runs on
+    the extracted (wpt, s, s) band instead of the full (R, R) logits. The
+    final argument is the kernel's band context (eband, ebandT, padband,
+    dot_band) instead of an (R, R) padmask.
+    """
+    depth = c // num_heads
+    scale_q = np.float32(1.0 / np.sqrt(depth))
+    r = wpt * s
+
+    def shl(a, j):
+        if j == 0:
+            return a
+        return jnp.concatenate([a[:, j:], jnp.zeros((a.shape[0], j),
+                                                    a.dtype)], axis=1)
+
+    def epilogue(x, ep_refs, ln, ones_row, dot, dot_tt, dot_nt, band_ctx):
+        eband_ref, ebandT_ref, padband_ref, dot_band = band_ctx
+        (ln1_g, ln1_b, wqkv, bqkv, wp, bp, ln2_g, ln2_b,
+         w1, b1, wc0, wc1, wc2, bc, pe) = ep_refs
+        eband = eband_ref[:]
+        ebandT = ebandT_ref[:]
+        mband3 = padband_ref[:][None]  # (1, 1, s) broadcast over (wpt, s, s)
+        pe_t = jnp.concatenate([pe[:].astype(jnp.float32)] * wpt, axis=1)
+        x = x + pe_t
+        y = ln(x, ones_row, ln1_g[:], ln1_b[:], 1e-5)
+        qkv = dot(wqkv[:].astype(jnp.float32), y) + bqkv[:]
+        ctx_parts = []
+        for h in range(num_heads):
+            qh = qkv[h * depth:(h + 1) * depth] * scale_q
+            kh = qkv[c + h * depth: c + (h + 1) * depth]
+            vh = qkv[2 * c + h * depth: 2 * c + (h + 1) * depth]
+            logits = dot_tt(qh, kh)                        # (R, R)
+            band = dot_band(logits.reshape(wpt, s, r), eband) + mband3
+            m = jnp.max(band, axis=2, keepdims=True)
+            ex = jnp.exp(band - m)
+            wgt = ex / jnp.sum(ex, axis=2, keepdims=True)
+            wfull = dot_band(wgt, ebandT).reshape(r, r)
+            ctx_parts.append(dot_nt(vh, wfull))
+        ctx = jnp.concatenate(ctx_parts, axis=0)
+        x = x + dot(wp[:].astype(jnp.float32), ctx) + bp[:]
+        z = ln(x, ones_row, ln2_g[:], ln2_b[:], 1e-5)
+        h1 = jnp.maximum(dot(w1[:].astype(jnp.float32), z) + b1[:], 0.0)
+        conv = dot(wc0[:].astype(jnp.float32), h1)
+        conv += shl(dot(wc1[:].astype(jnp.float32), h1), 1)
+        conv += shl(dot(wc2[:].astype(jnp.float32), h1), 2)
+        return shl(x, 1) + conv + bc[:]
+
+    return epilogue

@@ -83,6 +83,11 @@ def _make_kernel_v3(num_blocks: int, wpt: int, s: int, c: int, hidden: int,
     dot = _dot_maker((((1,), (0,)), ((), ())), precision)
     dot_tt = _dot_maker((((0,), (0,)), ((), ())), precision)  # contract sublanes
     dot_nt = _dot_maker((((1,), (1,)), ((), ())), precision)  # contract lanes
+    # Banded mode: batched (over windows) band-select/expand dots. These
+    # contract one-hot selectors, so DEFAULT (1-pass bf16) is exact on the
+    # selector side; use the caller's precision so the logits side follows
+    # the active rung.
+    dot_band = _dot_maker((((2,), (1,)), ((0,), (0,))), precision)
 
     def ln(x, ones_row, gamma, beta, eps):
         # x: (C, R); stats over C via cross-sublane VPU reductions (measured
@@ -94,21 +99,67 @@ def _make_kernel_v3(num_blocks: int, wpt: int, s: int, c: int, hidden: int,
         return xc / jnp.sqrt(var + eps) * gamma + beta
 
     def kernel(*refs):
-        # refs: x, blkdiag, keyrow, padrow, ones, then 12 per block, then
+        # refs: x, blkdiag, keyrow, padrow, ones (banded: x, eband, ebandT,
+        # rep, keyband, padband, ones), then 12 per block, then
         # `num_epilogue_refs` epilogue operands, then out.
         # Grid-tiled operands are 3D (tile, C, R) with block (1, C, R): R is
         # not 128-divisible, so blocks must EQUAL the array's trailing dims
         # (the Mosaic block-shape rule); the leading axis is the grid.
-        x_ref, blkdiag_ref, keyrow_ref, padrow_ref, ones_ref = refs[:5]
+        if attn_mode == "banded":
+            (x_ref, eband_ref, ebandT_ref, rep_ref, keyband_ref,
+             padband_ref, ones_ref) = refs[:7]
+            base = 7
+            blkdiag_ref = keyrow_ref = padrow_ref = None
+        else:
+            x_ref, blkdiag_ref, keyrow_ref, padrow_ref, ones_ref = refs[:5]
+            base = 5
         o_ref = refs[-1]
         x = x_ref[0].astype(jnp.float32)  # (C, R)
         ones_row = ones_ref[:1]           # (1, C) of ones
 
         for blk in range(num_blocks):
             (ln1_g, ln1_b, wqkv, bqkv, wp, bp, ln2_g, ln2_b,
-             w1, b1, w2, b2) = refs[5 + 12 * blk: 5 + 12 * (blk + 1)]
+             w1, b1, w2, b2) = refs[base + 12 * blk: base + 12 * (blk + 1)]
             y = ln(x, ones_row, ln1_g[:], ln1_b[:], 1e-5)
             qkv = dot(wqkv[:].astype(jnp.float32), y) + bqkv[:]  # (3C, R)
+
+            if attn_mode == "banded":
+                # Softmax only on the block-diagonal band: the (R, R) logits
+                # contain wpt×(s, s) useful windows; extract them into a
+                # (wpt, s, s) band via batched one-hot dots (sublane slicing
+                # is 8-aligned at s=72; lane slicing would not be), softmax
+                # on 1/wpt of the elements, expand back for the ctx dot.
+                eband = eband_ref[:]
+                ebandT = ebandT_ref[:]
+                if blk < first_masked_blocks:
+                    mband = dot(rep_ref[:], keyband_ref[0])  # (R, wpt)@(wpt, s)
+                    mband3 = mband.reshape(wpt, s, s)
+                else:
+                    mband3 = padband_ref[:][None]  # (1, 1, s) broadcast
+                ctx_parts = []
+                for h in range(num_heads):
+                    qh = qkv[h * depth:(h + 1) * depth] * scale_q
+                    kh = qkv[c + h * depth: c + (h + 1) * depth]
+                    vh = qkv[2 * c + h * depth: 2 * c + (h + 1) * depth]
+                    logits = dot_tt(qh, kh)                      # (R, R)
+                    band = dot_band(logits.reshape(wpt, s, r), eband)
+                    band = band + mband3                         # (wpt, s, s)
+                    m = jnp.max(band, axis=2, keepdims=True)
+                    ex = jnp.exp(band - m)
+                    wgt = ex / jnp.sum(ex, axis=2, keepdims=True)
+                    wfull = dot_band(wgt, ebandT).reshape(r, r)  # (R, R)
+                    ctx_parts.append(dot_nt(vh, wfull))          # (48, R)
+                ctx = jnp.concatenate(ctx_parts, axis=0)
+                x = x + dot(wp[:].astype(jnp.float32), ctx) + bp[:]
+                z = ln(x, ones_row, ln2_g[:], ln2_b[:], 1e-5)
+                z = dot(w1[:].astype(jnp.float32), z) + b1[:]
+                if activation == "relu":
+                    z = jnp.maximum(z, 0.0)
+                else:
+                    from .pallas_spatial import _erf
+                    z = 0.5 * z * (1.0 + _erf(z * np.float32(1.0 / np.sqrt(2.0))))
+                x = x + dot(w2[:].astype(jnp.float32), z) + b2[:]
+                continue
 
             if blk < first_masked_blocks:
                 addmask = blkdiag_ref[:] + keyrow_ref[0]  # (R,R) + (1,R)
@@ -163,11 +214,18 @@ def _make_kernel_v3(num_blocks: int, wpt: int, s: int, c: int, hidden: int,
                 z = 0.5 * z * (1.0 + _erf(z * np.float32(1.0 / np.sqrt(2.0))))
             x = x + dot(w2[:].astype(jnp.float32), z) + b2[:]
         if epilogue is not None:
-            ep_refs = refs[5 + 12 * num_blocks: 5 + 12 * num_blocks
+            ep_refs = refs[base + 12 * num_blocks: base + 12 * num_blocks
                            + num_epilogue_refs]
-            padmask = blkdiag_ref[:] + padrow_ref[0]
-            x = epilogue(x, ep_refs, ln, ones_row, dot, dot_tt, dot_nt,
-                         padmask)
+            if attn_mode == "banded":
+                # Band context for a banded epilogue (see
+                # pallas_strided.make_strided_b1_epilogue_banded)
+                band_ctx = (eband_ref, ebandT_ref, padband_ref, dot_band)
+                x = epilogue(x, ep_refs, ln, ones_row, dot, dot_tt, dot_nt,
+                             band_ctx)
+            else:
+                padmask = blkdiag_ref[:] + padrow_ref[0]
+                x = epilogue(x, ep_refs, ln, ones_row, dot, dot_tt, dot_nt,
+                             padmask)
         o_ref[0] = x
 
     return kernel
@@ -256,17 +314,34 @@ def fused_temporal_stack_v3(x: jax.Array, stacked: Dict,
     padrow_tile = jnp.asarray(np.tile(pad_row, wpt))[None, :]  # (1, R)
     n_tiles = (b * s) // r
 
+    banded = attn_mode == "banded"
     if key_mask is not None and first_masked_blocks > 0:
         km = jnp.pad(key_mask.astype(jnp.float32), ((0, 0), (0, s - s_in)),
                      constant_values=1.0) * -1e9
         km = jnp.minimum(km, jnp.asarray(pad_row)[None])  # both masks
         keyrow = km.reshape(n_tiles, 1, r)
+        keyband = km.reshape(n_tiles, wpt, s)
     else:
         keyrow = jnp.broadcast_to(padrow_tile, (n_tiles, 1, r))
+        keyband = jnp.broadcast_to(jnp.asarray(pad_row)[None, None, :],
+                                   (n_tiles, wpt, s))
         first_masked_blocks = 0
 
     padrow_full = jnp.broadcast_to(padrow_tile, (n_tiles, 1, r))
     ones_row = jnp.ones((8, c), jnp.float32)
+
+    if banded:
+        # One-hot band selectors: eband[w] embeds window w's keys from the
+        # full R lanes into s band columns; rep expands per-window rows.
+        eband_np = np.zeros((wpt, r, s), np.float32)
+        rep_np = np.zeros((r, wpt), np.float32)
+        for w in range(wpt):
+            eband_np[w, w * s:(w + 1) * s, :] = np.eye(s, dtype=np.float32)
+            rep_np[w * s:(w + 1) * s, w] = 1.0
+        eband = jnp.asarray(eband_np)
+        ebandT = jnp.asarray(eband_np.transpose(0, 2, 1))
+        rep = jnp.asarray(rep_np)
+        padband = jnp.asarray(pad_row)[None, :]  # (1, s)
 
     def full(a):
         return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
@@ -292,16 +367,28 @@ def fused_temporal_stack_v3(x: jax.Array, stacked: Dict,
                                  fmb_grp, activation, precision, attn_mode,
                                  num_epilogue_refs=len(ep_ops), epilogue=ep)
         grp_ops = block_ops[12 * done: 12 * (done + n_grp)]
-        in_specs = [
-            pl.BlockSpec((1, c, r), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            full(blkdiag),
-            pl.BlockSpec((1, 1, r), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, r), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            full(ones_row),
-        ] + [full(op) for op in grp_ops] + [full(op) for op in ep_ops]
+        x_spec = pl.BlockSpec((1, c, r), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        if banded:
+            fixed_specs = [
+                x_spec, full(eband), full(ebandT), full(rep),
+                pl.BlockSpec((1, wpt, s), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                full(padband), full(ones_row),
+            ]
+            fixed_args = (eband, ebandT, rep, keyband, padband, ones_row)
+        else:
+            fixed_specs = [
+                x_spec, full(blkdiag),
+                pl.BlockSpec((1, 1, r), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, r), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                full(ones_row),
+            ]
+            fixed_args = (blkdiag, keyrow, padrow_full, ones_row)
+        in_specs = fixed_specs + [full(op) for op in grp_ops] \
+            + [full(op) for op in ep_ops]
         out = pl.pallas_call(
             kernel,
             grid=(n_tiles,),
@@ -314,6 +401,6 @@ def fused_temporal_stack_v3(x: jax.Array, stacked: Dict,
             # streaming; raise the cap (proven safe by the backward kernel).
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024),
-        )(out, blkdiag, keyrow, padrow_full, ones_row, *grp_ops, *ep_ops)
+        )(out, *fixed_args, *grp_ops, *ep_ops)
         done += n_grp
     return out.transpose(0, 2, 1).reshape(b, s, c)[:, :s_in]
