@@ -111,10 +111,17 @@ def run_variant(name, model, variables, x, sm):
 
     if name.startswith("bench_"):
         # fused spatial + fused temporal tail combinations (current bench path
-        # candidates); suffix = <spatial prec>-<temporal prec>[-v2]
+        # candidates); suffix = <spatial prec>-<temporal prec>[-v2|-attnd]
+        # ("attnd" = temporal attention dots pinned DEFAULT while the dense
+        # dots follow <temporal prec> — the mixed-rung candidate)
         parts = name.split("_", 1)[1].split("-")
         sp_name, tm_name = parts[0], parts[1]
-        impl = parts[2] if len(parts) > 2 else "v3"
+        impl, attn_prec = "v3", None
+        for extra in parts[2:]:
+            if extra == "attnd":
+                attn_prec = jax.lax.Precision.DEFAULT
+            else:
+                impl = extra
         to_prec = {"default": jax.lax.Precision.DEFAULT,
                    "high3": "high3",
                    "highest": jax.lax.Precision.HIGHEST}
@@ -122,7 +129,8 @@ def run_variant(name, model, variables, x, sm):
         return np.asarray(jax.device_get(bench_forward(
             model, variables, x, sm,
             spatial_precision=to_prec[sp_name],
-            temporal_precision=to_prec[tm_name], temporal_impl=impl)))
+            temporal_precision=to_prec[tm_name], temporal_impl=impl,
+            temporal_attn_precision=attn_prec)))
 
     if name.startswith("rung_"):
         # The actual shared eval/bench path at a precision rung

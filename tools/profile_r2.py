@@ -192,7 +192,7 @@ def main():
         amode = "full"
         for m in ("noattn", "logitsonly", "softmaxonly", "qkvonly", "nomlp",
                   "banded"):
-            if v.endswith("_" + m):
+            if "_" + m in v:
                 amode = {"noattn": "none", "logitsonly": "logits_only",
                          "softmaxonly": "softmax_only", "qkvonly": "qkvonly",
                          "nomlp": "nomlp", "banded": "banded"}[m]
@@ -214,7 +214,8 @@ def main():
             # as device-resident args: tests whether in-jit weight prep is
             # re-executed per scan iteration.
             from uplift_upsample_tpu.ops.pallas_temporal_v3 import _transposed_operands
-            ops = [jax.device_put(o) for o in _transposed_operands(stacked, 4, wdtype)]
+            ops = [jax.device_put(o) for o in _transposed_operands(
+                stacked, 4, wdtype, q_scale=1.0 / np.sqrt(384 // 8))]
 
             def fn(t, *flat):
                 return fused_temporal_stack_v3(t, stacked, None, num_blocks=4,

@@ -2,12 +2,20 @@
 
 The bench/eval fast path. Equivalent to `model.apply(..., training=False)`
 modulo dot precision (verified by tests/test_bench_forward.py and quantified
-on-chip by tools/check_tpu_parity.py):
+on-chip by tools/check_tpu_parity.py). Two pipelines:
 
-  masked 2D → fused spatial kernel (ops/pallas_spatial.py)
-            → spatial_to_temporal Dense + strided-token substitution + PE (XLA)
-            → fused temporal stack (ops/pallas_temporal.py, batched attention)
-            → strided stack + heads via the model's temporal_input splice.
+  tiled (default when the geometry allows): masked 2D, window-padded →
+    fused spatial kernel writing the temporal kernel's tile layout directly
+    (ops/pallas_spatial.fused_spatial_stack_tiled) → fused temporal stack
+    with the s2t Dense + masked-token + PE as a kernel prologue, banded
+    window attention, strided block 1 + output selection as the epilogue
+    (ops/pallas_temporal_v3.fused_temporal_stack_v3_tiled) → strided blocks
+    2+ and heads via the model's strided_entry splice. No XLA transpose
+    between the two kernels — the (B, N, C) pad/transpose round-trips of the
+    non-tiled path measured ~16 ms at B=2048 (the wrapper floor).
+
+  legacy: spatial kernel in (P, C, F) layout → XLA s2t/mask/PE → temporal
+    kernel with its own pad/transpose wrapper → XLA tail.
 """
 
 from __future__ import annotations
@@ -20,34 +28,97 @@ from ..ops.pallas_temporal import fused_temporal_stack, stack_temporal_params
 from .uplift_upsample import UpliftUpsampleTransformer
 
 
+def _tiled_forward(model, variables, x2d_masked, stride_mask, *,
+                   spatial_precision, temporal_precision, stacked_temporal,
+                   eff_wpt, temporal_attn_precision):
+    """The fully-tiled kernel→kernel pipeline (see module docstring)."""
+    from ..ops.pallas_spatial import (fused_spatial_stack_tiled,
+                                      stack_spatial_params)
+    from ..ops.pallas_strided import (_OP_ORDER,
+                                      make_strided_b1_epilogue_banded_sel,
+                                      make_strided_sel,
+                                      stack_strided_block1_params)
+    from ..ops.pallas_temporal_v3 import fused_temporal_stack_v3_tiled
+
+    params = variables["params"]
+    b, n = x2d_masked.shape[:2]
+    s_pad = -(-n // 8) * 8
+    n_tiles = b // eff_wpt
+    r = eff_wpt * s_pad
+    c = model.temporal_d_model
+
+    # Window-pad frames (71→72) up-front so the spatial output lanes line up
+    # with the temporal kernel's windows; the pad frames compute garbage the
+    # temporal attention masks and the epilogue selection never reads.
+    xp = jnp.pad(x2d_masked, ((0, 0), (0, s_pad - n), (0, 0), (0, 0)))
+    x_t4 = xp.reshape(n_tiles, r, xp.shape[2], xp.shape[3]).transpose(0, 2, 3, 1)
+
+    stacked_sp = stack_spatial_params(params, model.spatial_depth)
+    sp = fused_spatial_stack_tiled(x_t4, stacked_sp,
+                                   num_blocks=model.spatial_depth,
+                                   num_heads=model.num_heads,
+                                   precision=spatial_precision)
+
+    fc = params["spatial_to_temporal_fc"]
+    w_s2t = jnp.asarray(fc["kernel"], jnp.float32).T          # (C, P·C_sp)
+    b_s2t = jnp.asarray(fc["bias"], jnp.float32)[:, None]     # (C, 1)
+    if model.has_strided_input:
+        token = jnp.asarray(params["strided_input_token"], jnp.float32)[:, None]
+        tok_mask = stride_mask.astype(jnp.float32)
+        inv_mask = 1.0 - tok_mask
+    else:
+        token = jnp.zeros((c, 1), jnp.float32)
+        tok_mask = None
+        inv_mask = None
+    pe = jnp.asarray(params["temporal_pe"], jnp.float32)      # (N, C)
+    pe_pad = jnp.pad(pe, ((0, s_pad - n), (0, 0))).T          # (C, s_pad)
+
+    sops = stack_strided_block1_params(params, n, weights_dtype=jnp.float32,
+                                       num_heads=model.num_heads)
+    s0 = model.strides[0]
+    n_out = (n - 3) // s0 + 1
+    sel = make_strided_sel(eff_wpt, s_pad, s0, n_out)
+    ep_ops = tuple(sops[name] for name in _OP_ORDER) + (sel,)
+    epilogue = make_strided_b1_epilogue_banded_sel(
+        model.num_heads, eff_wpt, s_pad, c)
+
+    fmb = (model.first_strided_token_attention_layer
+           if model.has_strided_input else 0)
+    out = fused_temporal_stack_v3_tiled(
+        sp, stacked_temporal, inv_mask, num_blocks=model.temporal_depth,
+        num_heads=model.num_heads, s_in=n, first_masked_blocks=fmb,
+        windows_per_tile=eff_wpt, activation="relu",
+        weights_dtype=jnp.float32, precision=temporal_precision,
+        attn_precision=temporal_attn_precision,
+        s2t_ops=(w_s2t, b_s2t, token, pe_pad), stride_mask=tok_mask,
+        epilogue=epilogue, epilogue_ops=ep_ops,
+        out_width=eff_wpt * n_out)                # (n_tiles, C, wpt·n_out)
+
+    y = out.transpose(0, 2, 1).reshape(b, n_out, c)
+    tail = model.clone(temporal_input=True, strided_entry=1)
+    _, central = tail.apply(variables, y, stride_mask=stride_mask,
+                            training=False)
+    return central
+
+
 def bench_forward(model: UpliftUpsampleTransformer, variables, x2d_masked,
                   stride_mask, *, spatial_precision, temporal_precision,
                   stacked_temporal=None, temporal_impl: str = "v3",
-                  temporal_wpt: int = 4, temporal_attn: str = "banded"):
+                  temporal_wpt: int = 4, temporal_attn: str = "banded",
+                  temporal_attn_precision=None, fuse_s2t: bool = False):
     """Central-frame output of the fused eval path.
 
     x2d_masked: (B, N, 17, 2) already masked at non-keyframes;
     stride_mask: (B, N) with 1/True on frames carrying real input.
-    temporal_impl: "v3" (transposed-layout kernel; temporal_precision
-    selects the weight dtype — DEFAULT→bf16 weights, else f32) or "v2".
+    temporal_impl: "v3" (transposed-layout kernel) or "v2".
     temporal_attn: "banded" (default; block-diagonal band softmax) or
     "full" (full (R, R) softmax with additive window mask).
+    fuse_s2t: use the fully-tiled kernel→kernel pipeline when the geometry
+    allows (strides[0] with padding (0,0), v3, banded). Off by default
+    until the tiled temporal kernel's Mosaic compile hang is resolved
+    (PERF_NOTES round 3) — interpret-mode parity is green.
     """
     params = variables["params"]
-    sp = spatial_stack_apply(params, x2d_masked, num_blocks=model.spatial_depth,
-                             num_heads=model.num_heads,
-                             precision=spatial_precision)  # (B, N, P·C)
-
-    fc = params["spatial_to_temporal_fc"]
-    y = sp @ fc["kernel"] + fc["bias"]
-
-    inv_mask = None
-    if model.has_strided_input:
-        sm = stride_mask.astype(y.dtype)[..., None]
-        y = sm * y + (1.0 - sm) * params["strided_input_token"][None, None, :]
-        inv_mask = 1.0 - stride_mask.astype(jnp.float32)
-    y = y + params["temporal_pe"]
-
     if stacked_temporal is None:
         stacked_temporal = stack_temporal_params(params, model.temporal_depth)
     fmb = (model.first_strided_token_attention_layer
@@ -65,6 +136,30 @@ def bench_forward(model: UpliftUpsampleTransformer, variables, x2d_masked,
     eff_wpt = temporal_wpt
     while x2d_masked.shape[0] % eff_wpt != 0 and eff_wpt > 1:
         eff_wpt //= 2
+
+    if (fuse_s2t and fuse_strided and temporal_attn == "banded"
+            and model.spatial_depth > 0):
+        return _tiled_forward(
+            model, variables, x2d_masked, stride_mask,
+            spatial_precision=spatial_precision,
+            temporal_precision=temporal_precision,
+            stacked_temporal=stacked_temporal, eff_wpt=eff_wpt,
+            temporal_attn_precision=temporal_attn_precision)
+
+    sp = spatial_stack_apply(params, x2d_masked, num_blocks=model.spatial_depth,
+                             num_heads=model.num_heads,
+                             precision=spatial_precision)  # (B, N, P·C)
+
+    fc = params["spatial_to_temporal_fc"]
+    y = sp @ fc["kernel"] + fc["bias"]
+
+    inv_mask = None
+    if model.has_strided_input:
+        sm = stride_mask.astype(y.dtype)[..., None]
+        y = sm * y + (1.0 - sm) * params["strided_input_token"][None, None, :]
+        inv_mask = 1.0 - stride_mask.astype(jnp.float32)
+    y = y + params["temporal_pe"]
+
     if temporal_impl == "v3":
         from ..ops.pallas_temporal_v3 import fused_temporal_stack_v3
         epilogue, ep_ops = None, ()
@@ -74,7 +169,8 @@ def bench_forward(model: UpliftUpsampleTransformer, variables, x2d_masked,
                                               make_strided_b1_epilogue_banded,
                                               stack_strided_block1_params)
             sops = stack_strided_block1_params(params, model.num_frames,
-                                               weights_dtype=jnp.float32)
+                                               weights_dtype=jnp.float32,
+                                               num_heads=model.num_heads)
             ep_ops = tuple(sops[name] for name in _OP_ORDER)
             s_pad = -(-model.num_frames // 8) * 8
             make_ep = (make_strided_b1_epilogue_banded
@@ -88,7 +184,8 @@ def bench_forward(model: UpliftUpsampleTransformer, variables, x2d_masked,
             activation="relu", weights_dtype=jnp.float32,
             precision=temporal_precision, windows_per_tile=eff_wpt,
             attn_mode=temporal_attn if temporal_attn == "banded" else "full",
-            epilogue=epilogue, epilogue_ops=ep_ops)
+            epilogue=epilogue, epilogue_ops=ep_ops,
+            attn_precision=temporal_attn_precision)
     else:
         y = fused_temporal_stack(
             y, stacked_temporal, inv_mask, num_blocks=model.temporal_depth,

@@ -143,12 +143,15 @@ def _dense_per_joint_t(x, w_t, bias, p_tokens, num_heads, depth, precision):
 def _make_kernel(num_blocks: int, p_tokens: int, c: int, hidden: int,
                  num_heads: int, mlp_gelu: bool, precision,
                  have_droppath: bool = False, attn: str = "fma",
-                 bisect: str = "full"):
+                 bisect: str = "full", tiled_io: bool = False):
     depth = c // num_heads
     scale = 1.0 / float(depth) ** 0.5
 
     def attention_fma(q, k, v):
-        # Original per-head FMA loops: q/k/v (P, C, bt)
+        # Per-head FMA loops: q/k/v (P, C, bt). The 1/sqrt(d) scale is folded
+        # into wq/bq at operand build (saves one (P, P, bt) pass per head);
+        # the softmax denominator divides the (P, depth, bt) context instead
+        # of the (P, P, bt) weights (same math, 1/heads'th the elements).
         ctx_heads = []
         for h in range(num_heads):
             sl = slice(h * depth, (h + 1) * depth)
@@ -165,17 +168,18 @@ def _make_kernel(num_blocks: int, p_tokens: int, c: int, hidden: int,
                     kd = k[:, e, :][None, :, :]   # (1, P, bt)
                     contrib = qd * kd
                     logits = contrib if logits is None else logits + contrib
-                logits = logits * scale
             if bisect == "logits_only":
-                w = logits  # skip softmax, keep the ctx FMAs
+                w, denom = logits, None  # skip softmax, keep the ctx FMAs
             else:
                 m = jnp.max(logits, axis=1, keepdims=True)
-                ex = jnp.exp(logits - m)
-                w = ex / jnp.sum(ex, axis=1, keepdims=True)  # (P, P, bt)
+                w = jnp.exp(logits - m)               # unnormalized (P, P, bt)
+                denom = jnp.sum(w, axis=1, keepdims=True)  # (P, 1, bt)
             ctx_h = None
             for kk in range(p_tokens):
                 piece = w[:, kk, :][:, None, :] * v[kk, sl, :][None, :, :]
                 ctx_h = piece if ctx_h is None else ctx_h + piece  # (P, depth, bt)
+            if denom is not None:
+                ctx_h = ctx_h / denom
             ctx_heads.append(ctx_h)
         return jnp.concatenate(ctx_heads, axis=1)  # (P, C, bt)
 
@@ -188,7 +192,7 @@ def _make_kernel(num_blocks: int, p_tokens: int, c: int, hidden: int,
         for d in range(depth):
             piece = qT[:, d][:, :, None, :] * kT[:, d][:, None, :, :]
             logits = piece if logits is None else logits + piece
-        logits = logits * scale                      # (H, P_q, P_k, bt)
+        # (H, P_q, P_k, bt); 1/sqrt(d) pre-folded into wq/bq
         m = jnp.max(logits, axis=2, keepdims=True)
         ex = jnp.exp(logits - m)
         w = ex / jnp.sum(ex, axis=2, keepdims=True)
@@ -210,7 +214,8 @@ def _make_kernel(num_blocks: int, p_tokens: int, c: int, hidden: int,
         # Embedding: (P, 2, bt) → (P, C, bt), then + PE
         emb_w_t = emb_w_ref[:].T  # (C, 2)
         emb_b = emb_b_ref[:].reshape(c, 1)
-        x = _dense_per_joint(x_ref[:].astype(jnp.float32), emb_w_t, emb_b, p_tokens, precision)
+        x_in = x_ref[0] if tiled_io else x_ref[:]
+        x = _dense_per_joint(x_in.astype(jnp.float32), emb_w_t, emb_b, p_tokens, precision)
         x = x + pe_ref[:][:, :, None]  # (P, C) broadcast over lanes
 
         for blk in range(num_blocks):
@@ -268,7 +273,13 @@ def _make_kernel(num_blocks: int, p_tokens: int, c: int, hidden: int,
         # Final spatial_norm (eps 1e-6)
         x = _layer_norm(x, norm_g_ref[:].reshape(c, 1), norm_b_ref[:].reshape(c, 1),
                         1e-6)
-        o_ref[:] = x.astype(o_ref.dtype)
+        if tiled_io:
+            # Merge (P, C, R) → (P·C, R): p-major row order, matching the
+            # reference's `b n p c -> b n (p c)` flatten before the s2t
+            # Dense — the layout `fused_temporal_stack_v3_tiled` consumes.
+            o_ref[0] = x.reshape(p_tokens * c, -1).astype(o_ref.dtype)
+        else:
+            o_ref[:] = x.astype(o_ref.dtype)
 
     return kernel
 
@@ -313,6 +324,11 @@ def fused_spatial_stack(x_t: jax.Array, stacked: Dict, *, num_blocks: int,
     hidden = stacked["w1"].shape[2]
     # The lane (frame) dim must tile by block_f with block_f % 128 == 0
     assert block_f % 128 == 0 and f % block_f == 0, (f, block_f)
+
+    # Fold the attention 1/sqrt(d) into the q projection (free host-side op;
+    # removes one full (P, P, bt) scaling pass per head per block in-kernel)
+    scale = 1.0 / float(c // num_heads) ** 0.5
+    stacked = dict(stacked, wq=stacked["wq"] * scale, bq=stacked["bq"] * scale)
 
     kernel = _make_kernel(num_blocks, p_tokens, c, hidden, num_heads, mlp_gelu,
                           precision, have_droppath=droppath_scales is not None,
@@ -369,6 +385,57 @@ def spatial_stack_apply(params: Dict, x2d: jax.Array, *, num_blocks: int,
                             precision=precision, bisect=bisect)  # (P, C, F_pad)
     c = y.shape[1]
     return y[:, :, :f].transpose(2, 0, 1).reshape(b, n, p * c)
+
+
+@functools.partial(jax.jit, static_argnames=("num_blocks", "num_heads",
+                                             "mlp_gelu", "precision"))
+def fused_spatial_stack_tiled(x_t4: jax.Array, stacked: Dict, *,
+                              num_blocks: int, num_heads: int,
+                              mlp_gelu: bool = True,
+                              precision=HIGH3) -> jax.Array:
+    """Spatial stack with tiled I/O for direct kernel→kernel hand-off.
+
+    x_t4: (n_tiles, P, 2, R) — frames window-padded and grouped exactly as
+    the temporal kernel's tiles (R = wpt·s lanes). Output (n_tiles, P·C, R):
+    the temporal kernel's s2t-prologue input, written without any XLA
+    transpose between the two kernels. Per-frame math is identical to
+    `fused_spatial_stack` (frames are independent in the spatial stage; the
+    window-pad frames compute garbage that later stages mask/slice away).
+    """
+    n_tiles, p_tokens, c_in, r = x_t4.shape
+    c = stacked["emb_w"].shape[1]
+    hidden = stacked["w1"].shape[2]
+
+    # 1/sqrt(d) folded into wq/bq (see fused_spatial_stack)
+    scale = 1.0 / float(c // num_heads) ** 0.5
+    stacked = dict(stacked, wq=stacked["wq"] * scale, bq=stacked["bq"] * scale)
+
+    kernel = _make_kernel(num_blocks, p_tokens, c, hidden, num_heads,
+                          mlp_gelu, precision, tiled_io=True)
+
+    def full(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=pltpu.VMEM)
+
+    param_order = ["emb_w", "emb_b", "pe", "ln1_g", "ln1_b", "wq", "bq", "wk",
+                   "bk", "wv", "bv", "wp", "bp", "ln2_g", "ln2_b", "w1", "b1",
+                   "w2", "b2", "norm_g", "norm_b"]
+    in_specs = [pl.BlockSpec((1, p_tokens, c_in, r), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    in_specs += [full(stacked[name].shape) for name in param_order]
+    args = [x_t4] + [stacked[name] for name in param_order]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, p_tokens * c, r), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, p_tokens * c, r),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(*args)
 
 
 # ---------------------------------------------------------------------------

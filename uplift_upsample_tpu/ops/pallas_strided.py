@@ -35,7 +35,8 @@ from jax.experimental.pallas import tpu as pltpu
 def stack_strided_block1_params(params: Dict, num_frames: int,
                                 weights_dtype=jnp.bfloat16,
                                 name: str = "strided_temporal_block_1",
-                                pe_name: str = "strided_temporal_pe_1"):
+                                pe_name: str = "strided_temporal_pe_1",
+                                num_heads: int = 8):
     """Kernel operands for the first strided block, transposed layout."""
     blk = params[name]
     c = np.asarray(blk["attn"]["wq"]["kernel"]).shape[0]
@@ -49,11 +50,17 @@ def stack_strided_block1_params(params: Dict, num_frames: int,
         return (jnp.zeros((n, 1), jnp.float32) if b is None
                 else jnp.asarray(b, jnp.float32)[:, None])
 
+    # Attention 1/sqrt(d) folded into the q projection (kernel/epilogue
+    # do not rescale q).
+    q_scale = jnp.float32(1.0 / np.sqrt(c // num_heads))
     wqkv = jnp.concatenate(
-        [jnp.asarray(blk["attn"][w]["kernel"], jnp.float32).T
-         for w in ("wq", "wk", "wv")], axis=0)  # (3C, C)
+        [jnp.asarray(blk["attn"]["wq"]["kernel"], jnp.float32).T * q_scale,
+         jnp.asarray(blk["attn"]["wk"]["kernel"], jnp.float32).T,
+         jnp.asarray(blk["attn"]["wv"]["kernel"], jnp.float32).T], axis=0)
     bqkv = jnp.concatenate(
-        [bias_col(blk["attn"], w, c) for w in ("wq", "wk", "wv")], axis=0)
+        [bias_col(blk["attn"], "wq", c) * q_scale,
+         bias_col(blk["attn"], "wk", c),
+         bias_col(blk["attn"], "wv", c)], axis=0)
     conv_k = jnp.asarray(blk["mlp"]["fc2"]["kernel"], jnp.float32)  # (3, hidden, C)
 
     s_pad = -(-num_frames // 8) * 8
@@ -122,7 +129,7 @@ def _make_kernel(wpt: int, s: int, c: int, num_heads: int, activation: str,
         addmask = blkdiag_ref[:] + padrow_ref[0]
         ctx_parts = []
         for h in range(num_heads):
-            qh = qkv[h * depth:(h + 1) * depth] * scale_q
+            qh = qkv[h * depth:(h + 1) * depth]  # scale folded in wqkv
             kh = qkv[c + h * depth: c + (h + 1) * depth]
             vh = qkv[2 * c + h * depth: 2 * c + (h + 1) * depth]
             logits = dot_tt(qh, kh) + addmask
@@ -240,7 +247,7 @@ def make_strided_b1_epilogue(num_heads: int, wpt: int, s: int, c: int):
         qkv = dot(wqkv[:].astype(jnp.float32), y) + bqkv[:]
         ctx_parts = []
         for h in range(num_heads):
-            qh = qkv[h * depth:(h + 1) * depth] * scale_q
+            qh = qkv[h * depth:(h + 1) * depth]  # scale folded in wqkv
             kh = qkv[c + h * depth: c + (h + 1) * depth]
             vh = qkv[2 * c + h * depth: 2 * c + (h + 1) * depth]
             logits = dot_tt(qh, kh) + padmask
@@ -256,6 +263,36 @@ def make_strided_b1_epilogue(num_heads: int, wpt: int, s: int, c: int):
         conv += shl(dot(wc1[:].astype(jnp.float32), h1), 1)
         conv += shl(dot(wc2[:].astype(jnp.float32), h1), 2)
         return shl(x, 1) + conv + bc[:]
+
+    return epilogue
+
+
+def make_strided_sel(wpt: int, s: int, stride: int, n_out: int):
+    """(R, wpt·n_out) one-hot lane selector: column w·n_out + t picks lane
+    w·s + stride·t — the strided block's output tokens. Applied as the last
+    epilogue dot so the kernel writes only the wpt·n_out selected lanes
+    instead of the full R (12x smaller output for h36m_351)."""
+    r = wpt * s
+    sel = np.zeros((r, wpt * n_out), np.float32)
+    for w in range(wpt):
+        for t in range(n_out):
+            sel[w * s + stride * t, w * n_out + t] = 1.0
+    return jnp.asarray(sel)
+
+
+def make_strided_b1_epilogue_banded_sel(num_heads: int, wpt: int, s: int,
+                                        c: int):
+    """`make_strided_b1_epilogue_banded` + in-kernel output selection.
+
+    Expects the selector from `make_strided_sel` appended as the 16th
+    epilogue operand; returns (C, wpt·n_out) instead of (C, R).
+    """
+    inner = make_strided_b1_epilogue_banded(num_heads, wpt, s, c)
+
+    def epilogue(x, ep_refs, ln, ones_row, dot, dot_tt, dot_nt, band_ctx):
+        pre = inner(x, ep_refs[:-1], ln, ones_row, dot, dot_tt, dot_nt,
+                    band_ctx)
+        return dot(pre, ep_refs[-1][:])
 
     return epilogue
 
@@ -290,7 +327,7 @@ def make_strided_b1_epilogue_banded(num_heads: int, wpt: int, s: int, c: int):
         qkv = dot(wqkv[:].astype(jnp.float32), y) + bqkv[:]
         ctx_parts = []
         for h in range(num_heads):
-            qh = qkv[h * depth:(h + 1) * depth] * scale_q
+            qh = qkv[h * depth:(h + 1) * depth]  # scale folded in wqkv
             kh = qkv[c + h * depth: c + (h + 1) * depth]
             vh = qkv[2 * c + h * depth: 2 * c + (h + 1) * depth]
             logits = dot_tt(qh, kh)                        # (R, R)

@@ -74,20 +74,25 @@ def _make_kernel_v3(num_blocks: int, wpt: int, s: int, c: int, hidden: int,
                     num_heads: int, first_masked_blocks: int,
                     activation: str, precision=jax.lax.Precision.DEFAULT,
                     attn_mode: str = "full", num_epilogue_refs: int = 0,
-                    epilogue=None):
+                    epilogue=None, attn_precision=None, s2t: bool = False):
     depth = c // num_heads
     scale_q = np.float32(1.0 / np.sqrt(depth))
     r = wpt * s
     inv_c = np.float32(1.0 / c)
 
+    # Per-site precision split (mixed rung): `precision` drives the
+    # residual-stream dense dots (qkv/proj/MLP — the drift-compounding
+    # path); `attn_precision` drives the attention logits/ctx/band dots
+    # (softmax-normalized — drift there barely reaches the output).
+    if attn_precision is None:
+        attn_precision = precision
     dot = _dot_maker((((1,), (0,)), ((), ())), precision)
-    dot_tt = _dot_maker((((0,), (0,)), ((), ())), precision)  # contract sublanes
-    dot_nt = _dot_maker((((1,), (1,)), ((), ())), precision)  # contract lanes
+    dot_tt = _dot_maker((((0,), (0,)), ((), ())), attn_precision)  # contract sublanes
+    dot_nt = _dot_maker((((1,), (1,)), ((), ())), attn_precision)  # contract lanes
     # Banded mode: batched (over windows) band-select/expand dots. These
     # contract one-hot selectors, so DEFAULT (1-pass bf16) is exact on the
-    # selector side; use the caller's precision so the logits side follows
-    # the active rung.
-    dot_band = _dot_maker((((2,), (1,)), ((0,), (0,))), precision)
+    # selector side; the logits side follows the attention precision.
+    dot_band = _dot_maker((((2,), (1,)), ((0,), (0,))), attn_precision)
 
     def ln(x, ones_row, gamma, beta, eps):
         # x: (C, R); stats over C via cross-sublane VPU reductions (measured
@@ -100,22 +105,34 @@ def _make_kernel_v3(num_blocks: int, wpt: int, s: int, c: int, hidden: int,
 
     def kernel(*refs):
         # refs: x, blkdiag, keyrow, padrow, ones (banded: x, eband, ebandT,
-        # rep, keyband, padband, ones), then 12 per block, then
+        # keyband, padband, ones), then 12 per block, then
         # `num_epilogue_refs` epilogue operands, then out.
         # Grid-tiled operands are 3D (tile, C, R) with block (1, C, R): R is
         # not 128-divisible, so blocks must EQUAL the array's trailing dims
         # (the Mosaic block-shape rule); the leading axis is the grid.
         if attn_mode == "banded":
-            (x_ref, eband_ref, ebandT_ref, rep_ref, keyband_ref,
-             padband_ref, ones_ref) = refs[:7]
-            base = 7
+            (x_ref, eband_ref, ebandT_ref, keyband_ref,
+             padband_ref, ones_ref) = refs[:6]
+            base = 6
             blkdiag_ref = keyrow_ref = padrow_ref = None
         else:
             x_ref, blkdiag_ref, keyrow_ref, padrow_ref, ones_ref = refs[:5]
             base = 5
         o_ref = refs[-1]
-        x = x_ref[0].astype(jnp.float32)  # (C, R)
+        x = x_ref[0].astype(jnp.float32)  # (C, R); s2t: (C_in=P·C_sp, R)
         ones_row = ones_ref[:1]           # (1, C) of ones
+
+        if s2t:
+            # Fused spatial→temporal prologue (reference model order,
+            # uplift_upsample_transformer.py:332-352): s2t Dense on the
+            # spatial output, masked-token substitution, temporal PE — all
+            # on the already-tiled (C_in, R) input, one K=C_in dot.
+            ws_ref, bs_ref, tok_ref, tm_ref, pes_ref = refs[base: base + 5]
+            base += 5
+            x = dot(ws_ref[:].astype(jnp.float32), x) + bs_ref[:]  # (C, R)
+            tm = tm_ref[0]                          # (1, R), 1=real input
+            x = x * tm + tok_ref[:] * (1.0 - tm)
+            x = x + jnp.concatenate([pes_ref[:]] * wpt, axis=1)
 
         for blk in range(num_blocks):
             (ln1_g, ln1_b, wqkv, bqkv, wp, bp, ln2_g, ln2_b,
@@ -132,13 +149,14 @@ def _make_kernel_v3(num_blocks: int, wpt: int, s: int, c: int, hidden: int,
                 eband = eband_ref[:]
                 ebandT = ebandT_ref[:]
                 if blk < first_masked_blocks:
-                    mband = dot(rep_ref[:], keyband_ref[0])  # (R, wpt)@(wpt, s)
-                    mband3 = mband.reshape(wpt, s, s)
+                    # Key mask in band space: column jj of window w masks key
+                    # w*s+jj for every query row — a plain broadcast.
+                    mband3 = keyband_ref[0][:, None, :]  # (wpt, 1, s)
                 else:
                     mband3 = padband_ref[:][None]  # (1, 1, s) broadcast
                 ctx_parts = []
                 for h in range(num_heads):
-                    qh = qkv[h * depth:(h + 1) * depth] * scale_q
+                    qh = qkv[h * depth:(h + 1) * depth]  # scale folded in wqkv
                     kh = qkv[c + h * depth: c + (h + 1) * depth]
                     vh = qkv[2 * c + h * depth: 2 * c + (h + 1) * depth]
                     logits = dot_tt(qh, kh)                      # (R, R)
@@ -173,7 +191,7 @@ def _make_kernel_v3(num_blocks: int, wpt: int, s: int, c: int, hidden: int,
             elif attn_mode == "logits_only":  # dots, no softmax
                 ctx_parts = []
                 for h in range(num_heads):
-                    qh = qkv[h * depth:(h + 1) * depth] * scale_q
+                    qh = qkv[h * depth:(h + 1) * depth]  # scale folded in wqkv
                     kh = qkv[c + h * depth: c + (h + 1) * depth]
                     vh = qkv[2 * c + h * depth: 2 * c + (h + 1) * depth]
                     logits = dot_tt(qh, kh) + addmask
@@ -192,7 +210,7 @@ def _make_kernel_v3(num_blocks: int, wpt: int, s: int, c: int, hidden: int,
             else:
               ctx_parts = []
               for h in range(num_heads):
-                qh = qkv[h * depth:(h + 1) * depth] * scale_q        # (48, R)
+                qh = qkv[h * depth:(h + 1) * depth]  # scale folded in wqkv
                 kh = qkv[c + h * depth: c + (h + 1) * depth]
                 vh = qkv[2 * c + h * depth: 2 * c + (h + 1) * depth]
                 logits = dot_tt(qh, kh) + addmask                    # (R, R)
@@ -231,20 +249,31 @@ def _make_kernel_v3(num_blocks: int, wpt: int, s: int, c: int, hidden: int,
     return kernel
 
 
-def _transposed_operands(stacked: Dict, num_blocks: int, weights_dtype):
+def _transposed_operands(stacked: Dict, num_blocks: int, weights_dtype,
+                         q_scale=None):
     """Per-block kernel operands in the transposed layout.
 
     stacked: `stack_temporal_params` output (wqkv (L,C,3C) etc., row-major
     for y @ W). v3 computes W_t @ x, so kernels are transposed here; biases
-    become (n, 1) sublane vectors; LN scales (C, 1).
+    become (n, 1) sublane vectors; LN scales (C, 1). With `q_scale`, the
+    attention 1/sqrt(d) is folded into the q rows of wqkv/bqkv so the
+    kernel does not rescale q (one fewer (depth, R) pass per head/block) —
+    the kernel's `fold_q_scale` must match.
     """
+    c = stacked["wqkv"].shape[1]
     ops = []
     for blk in range(num_blocks):
         col = lambda a: jnp.asarray(a, jnp.float32)[:, None]
+        wqkv_t = jnp.asarray(stacked["wqkv"][blk]).T
+        bqkv_c = col(stacked["bqkv"][blk])
+        if q_scale is not None:
+            qs = jnp.float32(q_scale)
+            wqkv_t = jnp.concatenate([wqkv_t[:c] * qs, wqkv_t[c:]], axis=0)
+            bqkv_c = jnp.concatenate([bqkv_c[:c] * qs, bqkv_c[c:]], axis=0)
         ops += [
             col(stacked["ln1_g"][blk]), col(stacked["ln1_b"][blk]),
-            jnp.asarray(stacked["wqkv"][blk]).T.astype(weights_dtype),
-            col(stacked["bqkv"][blk]),
+            wqkv_t.astype(weights_dtype),
+            bqkv_c,
             jnp.asarray(stacked["wp"][blk]).T.astype(weights_dtype),
             col(stacked["bp"][blk]),
             col(stacked["ln2_g"][blk]), col(stacked["ln2_b"][blk]),
@@ -259,7 +288,7 @@ def _transposed_operands(stacked: Dict, num_blocks: int, weights_dtype):
 @functools.partial(jax.jit, static_argnames=(
     "num_blocks", "num_heads", "first_masked_blocks", "windows_per_tile",
     "activation", "weights_dtype", "precision", "attn_mode", "token_pad_to",
-    "epilogue"))
+    "epilogue", "attn_precision"))
 def fused_temporal_stack_v3(x: jax.Array, stacked: Dict,
                             key_mask: Optional[jax.Array] = None, *,
                             num_blocks: int, num_heads: int,
@@ -272,7 +301,8 @@ def fused_temporal_stack_v3(x: jax.Array, stacked: Dict,
                             token_pad_to: int = 0,
                             prepped_ops=None,
                             epilogue=None,
-                            epilogue_ops=()) -> jax.Array:
+                            epilogue_ops=(),
+                            attn_precision=None) -> jax.Array:
     """x: (B, S, C) → (B, S, C) through the fused transformer stack.
 
     key_mask: (B, S), 1/True = blocked key, applied to the first
@@ -332,15 +362,12 @@ def fused_temporal_stack_v3(x: jax.Array, stacked: Dict,
 
     if banded:
         # One-hot band selectors: eband[w] embeds window w's keys from the
-        # full R lanes into s band columns; rep expands per-window rows.
+        # full R lanes into s band columns.
         eband_np = np.zeros((wpt, r, s), np.float32)
-        rep_np = np.zeros((r, wpt), np.float32)
         for w in range(wpt):
             eband_np[w, w * s:(w + 1) * s, :] = np.eye(s, dtype=np.float32)
-            rep_np[w * s:(w + 1) * s, w] = 1.0
         eband = jnp.asarray(eband_np)
         ebandT = jnp.asarray(eband_np.transpose(0, 2, 1))
-        rep = jnp.asarray(rep_np)
         padband = jnp.asarray(pad_row)[None, :]  # (1, s)
 
     def full(a):
@@ -354,7 +381,9 @@ def fused_temporal_stack_v3(x: jax.Array, stacked: Dict,
     group = max(1, min(num_blocks, int(10e6 // max(per_block, 1))))
 
     block_ops = (list(prepped_ops) if prepped_ops is not None
-                 else _transposed_operands(stacked, num_blocks, weights_dtype))
+                 else _transposed_operands(
+                     stacked, num_blocks, weights_dtype,
+                     q_scale=1.0 / np.sqrt(c // num_heads)))
     out = x_t
     done = 0
     while done < num_blocks:
@@ -365,18 +394,19 @@ def fused_temporal_stack_v3(x: jax.Array, stacked: Dict,
         fmb_grp = max(0, min(n_grp, first_masked_blocks - done))
         kernel = _make_kernel_v3(n_grp, wpt, s, c, hidden, num_heads,
                                  fmb_grp, activation, precision, attn_mode,
-                                 num_epilogue_refs=len(ep_ops), epilogue=ep)
+                                 num_epilogue_refs=len(ep_ops), epilogue=ep,
+                                 attn_precision=attn_precision)
         grp_ops = block_ops[12 * done: 12 * (done + n_grp)]
         x_spec = pl.BlockSpec((1, c, r), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)
         if banded:
             fixed_specs = [
-                x_spec, full(eband), full(ebandT), full(rep),
+                x_spec, full(eband), full(ebandT),
                 pl.BlockSpec((1, wpt, s), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 full(padband), full(ones_row),
             ]
-            fixed_args = (eband, ebandT, rep, keyband, padband, ones_row)
+            fixed_args = (eband, ebandT, keyband, padband, ones_row)
         else:
             fixed_specs = [
                 x_spec, full(blkdiag),
@@ -404,3 +434,133 @@ def fused_temporal_stack_v3(x: jax.Array, stacked: Dict,
         )(out, *fixed_args, *grp_ops, *ep_ops)
         done += n_grp
     return out.transpose(0, 2, 1).reshape(b, s, c)[:, :s_in]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_blocks", "num_heads", "s_in", "first_masked_blocks",
+    "windows_per_tile", "activation", "weights_dtype", "precision",
+    "attn_precision", "epilogue", "out_width"))
+def fused_temporal_stack_v3_tiled(x_tiles: jax.Array, stacked: Dict,
+                                  key_mask: Optional[jax.Array] = None, *,
+                                  num_blocks: int, num_heads: int, s_in: int,
+                                  first_masked_blocks: int = 0,
+                                  windows_per_tile: int = 4,
+                                  activation: str = "relu",
+                                  weights_dtype=jnp.float32,
+                                  precision=jax.lax.Precision.DEFAULT,
+                                  attn_precision=None,
+                                  s2t_ops=None,
+                                  stride_mask: Optional[jax.Array] = None,
+                                  epilogue=None, epilogue_ops=(),
+                                  out_width: int = 0) -> jax.Array:
+    """Tiled-I/O temporal stack: consumes/produces the kernel's transposed
+    tile layout directly, with the spatial→temporal Dense fused as a kernel
+    prologue — no XLA pad/transpose round-trip between the spatial and
+    temporal kernels (measured to dominate the non-tiled wrapper).
+
+    x_tiles: (n_tiles, C_in, R) with R = windows_per_tile·s and frames
+    window-padded to s (the layout `fused_spatial_stack_tiled` writes).
+    s2t_ops: (w_s2t_T (C, C_in), b_s2t (C, 1), token (C, 1), pe (C, s)) —
+    when given, the prologue computes s2t Dense + masked-token substitution
+    (from `stride_mask` (B, s_in)) + temporal PE in-kernel.
+    epilogue/epilogue_ops: as in `fused_temporal_stack_v3`; with
+    `out_width` > 0 the last group's output is (n_tiles, C, out_width)
+    (an epilogue that applies in-kernel lane selection).
+    Banded attention only. Returns (n_tiles, C, out_width or R).
+    """
+    n_tiles, c_in, r = x_tiles.shape
+    wpt = windows_per_tile
+    s = r // wpt
+    assert s * wpt == r
+    b = n_tiles * wpt
+    c = stacked["wqkv"].shape[1]
+    hidden = stacked["w1"].shape[2]
+
+    pad_row = np.zeros((s,), np.float32)
+    pad_row[s_in:] = -1e9
+
+    if key_mask is not None and first_masked_blocks > 0:
+        km = jnp.pad(key_mask.astype(jnp.float32), ((0, 0), (0, s - s_in)),
+                     constant_values=1.0) * -1e9
+        km = jnp.minimum(km, jnp.asarray(pad_row)[None])
+        keyband = km.reshape(n_tiles, wpt, s)
+    else:
+        keyband = jnp.broadcast_to(jnp.asarray(pad_row)[None, None, :],
+                                   (n_tiles, wpt, s))
+        first_masked_blocks = 0
+
+    eband_np = np.zeros((wpt, r, s), np.float32)
+    for w in range(wpt):
+        eband_np[w, w * s:(w + 1) * s, :] = np.eye(s, dtype=np.float32)
+    eband = jnp.asarray(eband_np)
+    ebandT = jnp.asarray(eband_np.transpose(0, 2, 1))
+    padband = jnp.asarray(pad_row)[None, :]
+    ones_row = jnp.ones((8, c), jnp.float32)
+
+    s2t_args, tokmask = (), None
+    if s2t_ops is not None:
+        w_s2t, b_s2t, token, pe = s2t_ops
+        if stride_mask is not None:
+            tm = jnp.pad(stride_mask.astype(jnp.float32),
+                         ((0, 0), (0, s - s_in)), constant_values=1.0)
+        else:
+            tm = jnp.ones((b, s), jnp.float32)
+        tokmask = tm.reshape(n_tiles, 1, r)
+        s2t_args = (w_s2t, b_s2t, token, pe)
+
+    def full(a):
+        return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                            memory_space=pltpu.VMEM)
+
+    itemsize = jnp.dtype(weights_dtype).itemsize
+    per_block = (3 * c * c + c * c + 2 * c * hidden) * itemsize
+    group = max(1, min(num_blocks, int(10e6 // max(per_block, 1))))
+    block_ops = _transposed_operands(stacked, num_blocks, weights_dtype,
+                                     q_scale=1.0 / np.sqrt(c // num_heads))
+
+    out = x_tiles
+    done = 0
+    while done < num_blocks:
+        n_grp = min(group, num_blocks - done)
+        first_group = done == 0
+        last_group = done + n_grp >= num_blocks
+        ep = epilogue if last_group else None
+        ep_ops = list(epilogue_ops) if (last_group and epilogue is not None) else []
+        fmb_grp = max(0, min(n_grp, first_masked_blocks - done))
+        with_s2t = first_group and s2t_ops is not None
+        kernel = _make_kernel_v3(n_grp, wpt, s, c, hidden, num_heads,
+                                 fmb_grp, activation, precision, "banded",
+                                 num_epilogue_refs=len(ep_ops), epilogue=ep,
+                                 attn_precision=attn_precision, s2t=with_s2t)
+        grp_ops = block_ops[12 * done: 12 * (done + n_grp)]
+        cur_cin = out.shape[1]
+        in_specs = [
+            pl.BlockSpec((1, cur_cin, r), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(eband), full(ebandT),
+            pl.BlockSpec((1, wpt, s), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(padband), full(ones_row),
+        ]
+        args = [out, eband, ebandT, keyband, padband, ones_row]
+        if with_s2t:
+            in_specs += [full(op) for op in s2t_args[:3]]
+            in_specs.append(pl.BlockSpec((1, 1, r), lambda i: (i, 0, 0),
+                                         memory_space=pltpu.VMEM))
+            in_specs.append(full(s2t_args[3]))
+            args += [*s2t_args[:3], tokmask, s2t_args[3]]
+        in_specs += [full(op) for op in grp_ops] + [full(op) for op in ep_ops]
+        args += [*grp_ops, *ep_ops]
+        ow = out_width if (last_group and out_width) else r
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, c, ow), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_tiles, c, ow), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+        )(*args)
+        done += n_grp
+    return out
