@@ -83,6 +83,57 @@ def test_fused_temporal_block_train_grads(masked):
                                    atol=3e-4, rtol=2e-3, err_msg=key)
 
 
+@pytest.mark.parametrize("fmb", [0, 1])
+def test_fused_temporal_stack_train_grads(fmb):
+    """Multi-block grouped train kernels vs the chained jnp reference."""
+    from uplift_upsample_tpu.ops.pallas_temporal_bwd import (
+        fused_temporal_stack_train)
+
+    b, s, c, heads, blocks = 8, 71, 384, 8, 3  # odd count: groups of 2 + 1
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(b, s, c)).astype(np.float32) * 0.5)
+    key_mask = jnp.asarray(rng.uniform(size=(b, s)) < 0.4).astype(jnp.float32)
+    keep = (rng.uniform(size=(blocks, 2, b)) > 0.25).astype(np.float32) / 0.75
+    dp_all = jnp.asarray(keep)
+
+    params_tuple = []
+    for i in range(blocks):
+        block = TransformerBlock(dim=c, num_heads=heads, mlp_ratio=2.0,
+                                 qkv_bias=True, activation=jax.nn.relu)
+        params_tuple.append(block.init(jax.random.PRNGKey(20 + i), x)["params"])
+    params_tuple = tuple(params_tuple)
+
+    cot = jnp.asarray(rng.normal(size=(b, s, c)).astype(np.float32))
+
+    def ref_loss(params_tuple, x, dp_all):
+        y = x
+        for i in range(blocks):
+            km = key_mask if i < fmb else None
+            y = _reference(params_tuple[i], y, km, dp_all[i], heads)
+        return jnp.sum(y * cot)
+
+    ref_val, ref_grads = jax.value_and_grad(ref_loss, argnums=(0, 1, 2))(
+        params_tuple, x, dp_all)
+
+    def fused_loss(params_tuple, x, dp_all):
+        out = fused_temporal_stack_train(x, params_tuple, key_mask, dp_all,
+                                         heads, 4, jnp.float32, fmb, 2)
+        return jnp.sum(out * cot)
+
+    with pltpu.force_tpu_interpret_mode():
+        got_val, got_grads = jax.value_and_grad(fused_loss, argnums=(0, 1, 2))(
+            params_tuple, x, dp_all)
+
+    assert np.isclose(float(got_val), float(ref_val), rtol=1e-5), \
+        (float(got_val), float(ref_val))
+    flat_ref = {"/".join(str(kk) for kk in kp): vv for kp, vv in
+                jax.tree_util.tree_flatten_with_path(ref_grads)[0]}
+    for kp, gv in jax.tree_util.tree_flatten_with_path(got_grads)[0]:
+        key = "/".join(str(kk) for kk in kp)
+        np.testing.assert_allclose(np.asarray(gv), np.asarray(flat_ref[key]),
+                                   atol=3e-4, rtol=2e-3, err_msg=key)
+
+
 def test_fused_temporal_train_step_matches_flax():
     """Full loss grads with TRAIN_FUSED_SPATIAL+TEMPORAL vs the flax path
     (stochastic depth off for exactness)."""

@@ -26,7 +26,8 @@ from uplift_upsample_tpu.config import UpliftUpsampleConfig  # noqa: E402
 from uplift_upsample_tpu.models import (build_uplift_upsample_transformer,  # noqa: E402
                                         init_model_params)
 
-B, N, WPT = 64, 71, 4
+B, N, WPT = int(os.environ.get("PROBE_B", "64")), 71, 4
+WDT = os.environ.get("PROBE_WDT", "f32")
 S = 72
 R = WPT * S
 NT = B // WPT
@@ -70,8 +71,9 @@ def main():
 
     fmb = 0 if stage.endswith("0") else 1
     stage = stage.rstrip("0")
+    wdt = jnp.bfloat16 if WDT == "bf16" else jnp.float32
     kw = dict(num_blocks=4, num_heads=8, s_in=N, first_masked_blocks=fmb,
-              windows_per_tile=WPT, weights_dtype=jnp.float32,
+              windows_per_tile=WPT, weights_dtype=wdt,
               precision=jax.lax.Precision.DEFAULT)
 
     if stage == "temporal":

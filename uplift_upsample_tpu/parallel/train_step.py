@@ -133,8 +133,13 @@ def make_loss_fn(model, config: UpliftUpsampleConfig, dataset_name: str = "h36m"
         dp_rates_t = _rates(1, model.temporal_depth) if fused_temporal else []
 
     def _temporal_train(params, y, stride_mask, rngs):
-        """s2t dense + strided-token + PE (XLA) → fused train blocks → tail."""
-        from ..ops.pallas_temporal_bwd import fused_temporal_block_train
+        """s2t dense + strided-token + PE (XLA) → fused train stack → tail.
+
+        All temporal blocks run through grouped multi-block kernel calls
+        (fused_temporal_stack_train) that stay in the tiled layout across
+        blocks — one pad/transpose pair per direction instead of one per
+        block (the dominant cost of the per-block path)."""
+        from ..ops.pallas_temporal_bwd import fused_temporal_stack_train
         fc = params["spatial_to_temporal_fc"]
         y = y @ fc["kernel"] + fc["bias"]
         inv_mask = jnp.zeros((y.shape[0], y.shape[1]), jnp.float32)
@@ -145,20 +150,22 @@ def make_loss_fn(model, config: UpliftUpsampleConfig, dataset_name: str = "h36m"
         y = y + params["temporal_pe"]
         fmb = (model.first_strided_token_attention_layer
                if model.has_strided_input else 0)
-        zeros_mask = jnp.zeros_like(inv_mask)
+        dp_rows = []
         for i in range(model.temporal_depth):
             key = jax.random.fold_in(rngs["droppath"], 100 + i)
             rate = dp_rates_t[i]
             if rate == 0.0:
-                dp = jnp.ones((2, y.shape[0]), jnp.float32)
+                dp_rows.append(jnp.ones((2, y.shape[0]), jnp.float32))
             else:
                 keep = 1.0 - rate
-                dp = jnp.floor(keep + jax.random.uniform(
-                    key, (2, y.shape[0]))) / keep
-            km = inv_mask if i < fmb else zeros_mask
-            y = fused_temporal_block_train(
-                y, params[f"temporal_block_{i + 1}"], km, dp,
-                model.num_heads, 4, jnp.float32)
+                dp_rows.append(jnp.floor(keep + jax.random.uniform(
+                    key, (2, y.shape[0]))) / keep)
+        dp_all = jnp.stack(dp_rows, axis=0)  # (L, 2, B)
+        params_tuple = tuple(params[f"temporal_block_{i + 1}"]
+                             for i in range(model.temporal_depth))
+        y = fused_temporal_stack_train(
+            y, params_tuple, inv_mask, dp_all, model.num_heads, 4,
+            jnp.float32, fmb, 2)
         return tail_t.apply({"params": params}, y, stride_mask=stride_mask,
                             training=True, rngs=rngs)
 
