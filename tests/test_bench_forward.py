@@ -71,6 +71,29 @@ def test_bench_forward_odd_batch():
                                atol=5e-5, rtol=1e-4)
 
 
+def test_bench_forward_tiled_matches_model():
+    """Fully-tiled pipeline (fuse_s2t + banded + selection epilogue) vs the
+    plain model, odd batch included."""
+    config = _flagship_small()
+    model = build_uplift_upsample_transformer(config)
+    variables = init_model_params(model, seed=7)
+
+    rng = np.random.default_rng(7)
+    b, n = 2, config.SEQUENCE_LENGTH
+    sm = jnp.asarray((np.arange(n) % 5 == 0))[None].repeat(b, axis=0)
+    x = jnp.asarray(rng.normal(size=(b, n, 17, 2)).astype(np.float32) * 0.3)
+    xm = x * sm[:, :, None, None].astype(x.dtype)
+
+    _, ref = model.apply(variables, xm, stride_mask=sm, training=False)
+    with pltpu.force_tpu_interpret_mode():
+        got = bench_forward(model, variables, xm, sm,
+                            spatial_precision=jax.lax.Precision.HIGHEST,
+                            temporal_precision=jax.lax.Precision.HIGHEST,
+                            temporal_attn="banded", fuse_s2t=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-5, rtol=1e-4)
+
+
 def test_temporal_input_splice_alone():
     """model(temporal_input=True) must equal the tail of the full model."""
     config = _flagship_small()

@@ -88,12 +88,29 @@ def main():
         w_s2t = jnp.asarray(fc["kernel"], jnp.float32).T
         b_s2t = jnp.asarray(fc["bias"], jnp.float32)[:, None]
         token = jnp.asarray(params["strided_input_token"], jnp.float32)[:, None]
-        pe = jnp.pad(jnp.asarray(params["temporal_pe"], jnp.float32),
-                     ((0, S - N), (0, 0))).T
+        pe = jnp.tile(jnp.pad(jnp.asarray(params["temporal_pe"],
+                                          jnp.float32),
+                              ((0, S - N), (0, 0))).T, (1, WPT))
+        mode = os.environ.get("PROBE_S2T_MODE", "full")
         out = fused_temporal_stack_v3_tiled(
             xt, stacked, inv, s2t_ops=(w_s2t, b_s2t, token, pe),
-            stride_mask=sm.astype(jnp.float32), **kw)
+            stride_mask=sm.astype(jnp.float32), s2t_mode=mode, **kw)
         print("temporal_s2t ok", out.shape, float(jnp.sum(out * 1e-6)))
+        return
+
+    if stage == "temporal_ep_nosel":
+        from uplift_upsample_tpu.ops.pallas_strided import (
+            _OP_ORDER, make_strided_b1_epilogue_banded,
+            stack_strided_block1_params)
+        xt = jnp.asarray(rng.normal(size=(NT, 384, R)).astype(np.float32) * 0.3)
+        sops = stack_strided_block1_params(params, N,
+                                           weights_dtype=jnp.float32)
+        ep_list = [sops[nm] for nm in _OP_ORDER]
+        ep_list[-1] = jnp.tile(ep_list[-1], (1, WPT))
+        ep = make_strided_b1_epilogue_banded(8, WPT, S, 384)
+        out = fused_temporal_stack_v3_tiled(
+            xt, stacked, inv, epilogue=ep, epilogue_ops=tuple(ep_list), **kw)
+        print("temporal_ep_nosel ok", out.shape, float(jnp.sum(out * 1e-6)))
         return
 
     if stage == "temporal_ep":
@@ -104,8 +121,11 @@ def main():
         sops = stack_strided_block1_params(params, N,
                                            weights_dtype=jnp.float32)
         n_out = (N - 3) // 3 + 1
-        sel = make_strided_sel(WPT, S, 3, n_out)
-        ep_ops = tuple(sops[nm] for nm in _OP_ORDER) + (sel,)
+        ep_list = [sops[nm] for nm in _OP_ORDER]
+        ep_list[-1] = jnp.tile(ep_list[-1], (1, WPT))
+        sels = tuple(make_strided_sel(WPT, S, 3, n_out, shift=j)
+                     for j in range(3))
+        ep_ops = tuple(ep_list) + sels
         ep = make_strided_b1_epilogue_banded_sel(8, WPT, S, 384)
         out = fused_temporal_stack_v3_tiled(
             xt, stacked, inv, epilogue=ep, epilogue_ops=ep_ops,
@@ -119,7 +139,8 @@ def main():
         xm = x * sm[:, :, None, None].astype(x.dtype)
         out = bench_forward(model, variables, xm, sm,
                             spatial_precision=jax.lax.Precision.DEFAULT,
-                            temporal_precision=jax.lax.Precision.DEFAULT)
+                            temporal_precision=jax.lax.Precision.DEFAULT,
+                            fuse_s2t=True)
         print("full ok", out.shape, float(jnp.sum(out * 1e-6)))
         return
 

@@ -71,14 +71,18 @@ def _tiled_forward(model, variables, x2d_masked, stride_mask, *,
         tok_mask = None
         inv_mask = None
     pe = jnp.asarray(params["temporal_pe"], jnp.float32)      # (N, C)
-    pe_pad = jnp.pad(pe, ((0, s_pad - n), (0, 0))).T          # (C, s_pad)
+    pe_pad = jnp.tile(jnp.pad(pe, ((0, s_pad - n), (0, 0))).T,
+                      (1, eff_wpt))                           # (C, R) tiled
 
     sops = stack_strided_block1_params(params, n, weights_dtype=jnp.float32,
                                        num_heads=model.num_heads)
     s0 = model.strides[0]
     n_out = (n - 3) // s0 + 1
-    sel = make_strided_sel(eff_wpt, s_pad, s0, n_out)
-    ep_ops = tuple(sops[name] for name in _OP_ORDER) + (sel,)
+    ep_list = [sops[name] for name in _OP_ORDER]
+    ep_list[-1] = jnp.tile(ep_list[-1], (1, eff_wpt))  # pe pre-tiled (C, R)
+    sels = tuple(make_strided_sel(eff_wpt, s_pad, s0, n_out, shift=j)
+                 for j in range(3))
+    ep_ops = tuple(ep_list) + sels
     epilogue = make_strided_b1_epilogue_banded_sel(
         model.num_heads, eff_wpt, s_pad, c)
 
@@ -104,7 +108,7 @@ def _tiled_forward(model, variables, x2d_masked, stride_mask, *,
 def bench_forward(model: UpliftUpsampleTransformer, variables, x2d_masked,
                   stride_mask, *, spatial_precision, temporal_precision,
                   stacked_temporal=None, temporal_impl: str = "v3",
-                  temporal_wpt: int = 4, temporal_attn: str = "banded",
+                  temporal_wpt: int = 4, temporal_attn: str = "full",
                   temporal_attn_precision=None, fuse_s2t: bool = False):
     """Central-frame output of the fused eval path.
 
@@ -171,8 +175,13 @@ def bench_forward(model: UpliftUpsampleTransformer, variables, x2d_masked,
             sops = stack_strided_block1_params(params, model.num_frames,
                                                weights_dtype=jnp.float32,
                                                num_heads=model.num_heads)
-            ep_ops = tuple(sops[name] for name in _OP_ORDER)
+            ep_list = [sops[name] for name in _OP_ORDER]
             s_pad = -(-model.num_frames // 8) * 8
+            if temporal_attn == "banded":
+                # banded epilogue expects pre-tiled (C, R) PE (in-kernel
+                # lane concat next to band arrays crashes Mosaic)
+                ep_list[-1] = jnp.tile(ep_list[-1], (1, eff_wpt))
+            ep_ops = tuple(ep_list)
             make_ep = (make_strided_b1_epilogue_banded
                        if temporal_attn == "banded"
                        else make_strided_b1_epilogue)

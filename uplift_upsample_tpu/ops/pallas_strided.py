@@ -267,32 +267,72 @@ def make_strided_b1_epilogue(num_heads: int, wpt: int, s: int, c: int):
     return epilogue
 
 
-def make_strided_sel(wpt: int, s: int, stride: int, n_out: int):
+def make_strided_sel(wpt: int, s: int, stride: int, n_out: int,
+                     shift: int = 0):
     """(R, wpt·n_out) one-hot lane selector: column w·n_out + t picks lane
-    w·s + stride·t — the strided block's output tokens. Applied as the last
-    epilogue dot so the kernel writes only the wpt·n_out selected lanes
-    instead of the full R (12x smaller output for h36m_351)."""
+    w·s + stride·t + shift. Applied as the last epilogue dots so the kernel
+    writes only the wpt·n_out selected lanes instead of the full R (12x
+    smaller output for h36m_351); the `shift` variants fold the strided
+    conv's lane shifts and the crop residual into pure MXU selection —
+    in-kernel lane concatenation/shifting conflicts with the banded
+    attention's 72-lane band arrays in Mosaic layout inference (observed
+    'limits[i] <= dim(i)' compiler crashes)."""
     r = wpt * s
     sel = np.zeros((r, wpt * n_out), np.float32)
     for w in range(wpt):
         for t in range(n_out):
-            sel[w * s + stride * t, w * n_out + t] = 1.0
+            sel[w * s + stride * t + shift, w * n_out + t] = 1.0
     return jnp.asarray(sel)
 
 
 def make_strided_b1_epilogue_banded_sel(num_heads: int, wpt: int, s: int,
                                         c: int):
-    """`make_strided_b1_epilogue_banded` + in-kernel output selection.
+    """Banded strided-block-1 epilogue with shift-free in-kernel selection.
 
-    Expects the selector from `make_strided_sel` appended as the 16th
-    epilogue operand; returns (C, wpt·n_out) instead of (C, R).
+    Expects `_OP_ORDER` operands with a PRE-TILED (C, R) `pe`, followed by
+    three selectors (make_strided_sel with shift 0, 1, 2); returns
+    (C, wpt·n_out). out[:, w·n+t] = x[u+1] + conv(h1)[u] + bc at
+    u = w·s + stride·t — the reference StridedMLP k=3/pad-0 semantics
+    (uplift_upsample_transformer.py:67-89,139-152) with every lane shift
+    expressed as a selection dot.
     """
-    inner = make_strided_b1_epilogue_banded(num_heads, wpt, s, c)
+    depth = c // num_heads
+    r = wpt * s
 
     def epilogue(x, ep_refs, ln, ones_row, dot, dot_tt, dot_nt, band_ctx):
-        pre = inner(x, ep_refs[:-1], ln, ones_row, dot, dot_tt, dot_nt,
-                    band_ctx)
-        return dot(pre, ep_refs[-1][:])
+        eband_ref, ebandT_ref, padband_ref, dot_band = band_ctx
+        (ln1_g, ln1_b, wqkv, bqkv, wp, bp, ln2_g, ln2_b,
+         w1, b1, wc0, wc1, wc2, bc, pe, sel0, sel1, sel2) = ep_refs
+        eband = eband_ref[:]
+        ebandT = ebandT_ref[:]
+        mask2 = padband_ref[:]                  # (1, s), rank-2 broadcast
+        x = x + pe[:].astype(jnp.float32)       # pe pre-tiled (C, R)
+        y = ln(x, ones_row, ln1_g[:], ln1_b[:], 1e-5)
+        qkv = dot(wqkv[:].astype(jnp.float32), y) + bqkv[:]
+        ctx_parts = []
+        for h in range(num_heads):
+            qh = qkv[h * depth:(h + 1) * depth]  # scale folded in wqkv
+            kh = qkv[c + h * depth: c + (h + 1) * depth]
+            vh = qkv[2 * c + h * depth: 2 * c + (h + 1) * depth]
+            logits = dot_tt(qh, kh)
+            band = dot_band(logits.reshape(wpt, s, r), eband)
+            band = band.reshape(r, s) + mask2
+            m = jnp.max(band, axis=1, keepdims=True)
+            ex = jnp.exp(band - m)
+            wgt = ex / jnp.sum(ex, axis=1, keepdims=True)
+            wfull = dot_band(wgt.reshape(wpt, s, s), ebandT).reshape(r, r)
+            ctx_parts.append(dot_nt(vh, wfull))
+        ctx = jnp.concatenate(ctx_parts, axis=0)
+        x = x + dot(wp[:].astype(jnp.float32), ctx) + bp[:]
+        z = ln(x, ones_row, ln2_g[:], ln2_b[:], 1e-5)
+        h1 = jnp.maximum(dot(w1[:].astype(jnp.float32), z) + b1[:], 0.0)
+        c0 = dot(wc0[:].astype(jnp.float32), h1)
+        c1 = dot(wc1[:].astype(jnp.float32), h1)
+        c2 = dot(wc2[:].astype(jnp.float32), h1)
+        # out[:, col] = x[u+1] + c0[u] + c1[u+1] + c2[u+2] + bias
+        out = (dot(x + c1, sel1[:]) + dot(c0, sel0[:]) + dot(c2, sel2[:])
+               + bc[:])
+        return out
 
     return epilogue
 
@@ -320,9 +360,8 @@ def make_strided_b1_epilogue_banded(num_heads: int, wpt: int, s: int, c: int):
          w1, b1, wc0, wc1, wc2, bc, pe) = ep_refs
         eband = eband_ref[:]
         ebandT = ebandT_ref[:]
-        mband3 = padband_ref[:][None]  # (1, 1, s) broadcast over (wpt, s, s)
-        pe_t = jnp.concatenate([pe[:].astype(jnp.float32)] * wpt, axis=1)
-        x = x + pe_t
+        mask2 = padband_ref[:]  # (1, s), rank-2 broadcast over (R, s)
+        x = x + pe[:].astype(jnp.float32)  # pe pre-tiled (C, R)
         y = ln(x, ones_row, ln1_g[:], ln1_b[:], 1e-5)
         qkv = dot(wqkv[:].astype(jnp.float32), y) + bqkv[:]
         ctx_parts = []
@@ -331,11 +370,12 @@ def make_strided_b1_epilogue_banded(num_heads: int, wpt: int, s: int, c: int):
             kh = qkv[c + h * depth: c + (h + 1) * depth]
             vh = qkv[2 * c + h * depth: 2 * c + (h + 1) * depth]
             logits = dot_tt(qh, kh)                        # (R, R)
-            band = dot_band(logits.reshape(wpt, s, r), eband) + mband3
-            m = jnp.max(band, axis=2, keepdims=True)
+            band = dot_band(logits.reshape(wpt, s, r), eband)
+            band = band.reshape(r, s) + mask2
+            m = jnp.max(band, axis=1, keepdims=True)
             ex = jnp.exp(band - m)
-            wgt = ex / jnp.sum(ex, axis=2, keepdims=True)
-            wfull = dot_band(wgt, ebandT).reshape(r, r)
+            wgt = ex / jnp.sum(ex, axis=1, keepdims=True)
+            wfull = dot_band(wgt.reshape(wpt, s, s), ebandT).reshape(r, r)
             ctx_parts.append(dot_nt(vh, wfull))
         ctx = jnp.concatenate(ctx_parts, axis=0)
         x = x + dot(wp[:].astype(jnp.float32), ctx) + bp[:]

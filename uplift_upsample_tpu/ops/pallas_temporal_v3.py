@@ -74,7 +74,8 @@ def _make_kernel_v3(num_blocks: int, wpt: int, s: int, c: int, hidden: int,
                     num_heads: int, first_masked_blocks: int,
                     activation: str, precision=jax.lax.Precision.DEFAULT,
                     attn_mode: str = "full", num_epilogue_refs: int = 0,
-                    epilogue=None, attn_precision=None, s2t: bool = False):
+                    epilogue=None, attn_precision=None, s2t: bool = False,
+                    s2t_mode: str = "full"):
     depth = c // num_heads
     scale_q = np.float32(1.0 / np.sqrt(depth))
     r = wpt * s
@@ -130,9 +131,11 @@ def _make_kernel_v3(num_blocks: int, wpt: int, s: int, c: int, hidden: int,
             ws_ref, bs_ref, tok_ref, tm_ref, pes_ref = refs[base: base + 5]
             base += 5
             x = dot(ws_ref[:].astype(jnp.float32), x) + bs_ref[:]  # (C, R)
-            tm = tm_ref[0]                          # (1, R), 1=real input
-            x = x * tm + tok_ref[:] * (1.0 - tm)
-            x = x + jnp.concatenate([pes_ref[:]] * wpt, axis=1)
+            if s2t_mode != "dotonly":
+                tm = tm_ref[0]                      # (1, R), 1=real input
+                x = x * tm + tok_ref[:] * (1.0 - tm)
+            if s2t_mode == "full":
+                x = x + pes_ref[:]  # temporal PE, pre-tiled (C, R)
 
         for blk in range(num_blocks):
             (ln1_g, ln1_b, wqkv, bqkv, wp, bp, ln2_g, ln2_b,
@@ -146,14 +149,17 @@ def _make_kernel_v3(num_blocks: int, wpt: int, s: int, c: int, hidden: int,
                 # (wpt, s, s) band via batched one-hot dots (sublane slicing
                 # is 8-aligned at s=72; lane slicing would not be), softmax
                 # on 1/wpt of the elements, expand back for the ctx dot.
+                # Mask-add + softmax run on the rank-2 (R, s) view: rank-3
+                # middle-dim-1 broadcasts ((wpt, 1, s) → (wpt, s, s)) crash
+                # Mosaic's ApplyVectorLayoutPass ('limits[i] <= dim(i)
+                # (9 vs. 1)'); dim-1 sublane broadcasts over rank-2 are the
+                # proven pattern everywhere else in this kernel.
                 eband = eband_ref[:]
                 ebandT = ebandT_ref[:]
                 if blk < first_masked_blocks:
-                    # Key mask in band space: column jj of window w masks key
-                    # w*s+jj for every query row — a plain broadcast.
-                    mband3 = keyband_ref[0][:, None, :]  # (wpt, 1, s)
+                    mask2 = keyband_ref[0]   # (R, s), pre-broadcast in XLA
                 else:
-                    mband3 = padband_ref[:][None]  # (1, 1, s) broadcast
+                    mask2 = padband_ref[:]   # (1, s) broadcast over (R, s)
                 ctx_parts = []
                 for h in range(num_heads):
                     qh = qkv[h * depth:(h + 1) * depth]  # scale folded in wqkv
@@ -161,11 +167,12 @@ def _make_kernel_v3(num_blocks: int, wpt: int, s: int, c: int, hidden: int,
                     vh = qkv[2 * c + h * depth: 2 * c + (h + 1) * depth]
                     logits = dot_tt(qh, kh)                      # (R, R)
                     band = dot_band(logits.reshape(wpt, s, r), eband)
-                    band = band + mband3                         # (wpt, s, s)
-                    m = jnp.max(band, axis=2, keepdims=True)
+                    band = band.reshape(r, s) + mask2            # (R, s)
+                    m = jnp.max(band, axis=1, keepdims=True)
                     ex = jnp.exp(band - m)
-                    wgt = ex / jnp.sum(ex, axis=2, keepdims=True)
-                    wfull = dot_band(wgt, ebandT).reshape(r, r)  # (R, R)
+                    wgt = ex / jnp.sum(ex, axis=1, keepdims=True)
+                    wfull = dot_band(wgt.reshape(wpt, s, s),
+                                     ebandT).reshape(r, r)       # (R, R)
                     ctx_parts.append(dot_nt(vh, wfull))          # (48, R)
                 ctx = jnp.concatenate(ctx_parts, axis=0)
                 x = x + dot(wp[:].astype(jnp.float32), ctx) + bp[:]
@@ -350,11 +357,15 @@ def fused_temporal_stack_v3(x: jax.Array, stacked: Dict,
                      constant_values=1.0) * -1e9
         km = jnp.minimum(km, jnp.asarray(pad_row)[None])  # both masks
         keyrow = km.reshape(n_tiles, 1, r)
-        keyband = km.reshape(n_tiles, wpt, s)
+        # Rank-2 band-space key mask (R, s): every query lane of window w
+        # gets window w's key row (the kernel adds it to the (R, s) band —
+        # rank-3 middle-dim broadcasts crash Mosaic, see _make_kernel_v3)
+        keyband = jnp.broadcast_to(
+            km.reshape(n_tiles, wpt, 1, s),
+            (n_tiles, wpt, s, s)).reshape(n_tiles, r, s)
     else:
         keyrow = jnp.broadcast_to(padrow_tile, (n_tiles, 1, r))
-        keyband = jnp.broadcast_to(jnp.asarray(pad_row)[None, None, :],
-                                   (n_tiles, wpt, s))
+        keyband = None
         first_masked_blocks = 0
 
     padrow_full = jnp.broadcast_to(padrow_tile, (n_tiles, 1, r))
@@ -400,13 +411,16 @@ def fused_temporal_stack_v3(x: jax.Array, stacked: Dict,
         x_spec = pl.BlockSpec((1, c, r), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)
         if banded:
+            if fmb_grp > 0:
+                kb_arg, kb_spec = keyband, pl.BlockSpec(
+                    (1, r, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            else:  # unused by this group's kernel — skip the 42 MB stream
+                kb_arg, kb_spec = padband, full(padband)
             fixed_specs = [
-                x_spec, full(eband), full(ebandT),
-                pl.BlockSpec((1, wpt, s), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
+                x_spec, full(eband), full(ebandT), kb_spec,
                 full(padband), full(ones_row),
             ]
-            fixed_args = (eband, ebandT, keyband, padband, ones_row)
+            fixed_args = (eband, ebandT, kb_arg, padband, ones_row)
         else:
             fixed_specs = [
                 x_spec, full(blkdiag),
@@ -439,7 +453,7 @@ def fused_temporal_stack_v3(x: jax.Array, stacked: Dict,
 @functools.partial(jax.jit, static_argnames=(
     "num_blocks", "num_heads", "s_in", "first_masked_blocks",
     "windows_per_tile", "activation", "weights_dtype", "precision",
-    "attn_precision", "epilogue", "out_width"))
+    "attn_precision", "epilogue", "out_width", "s2t_mode"))
 def fused_temporal_stack_v3_tiled(x_tiles: jax.Array, stacked: Dict,
                                   key_mask: Optional[jax.Array] = None, *,
                                   num_blocks: int, num_heads: int, s_in: int,
@@ -452,7 +466,8 @@ def fused_temporal_stack_v3_tiled(x_tiles: jax.Array, stacked: Dict,
                                   s2t_ops=None,
                                   stride_mask: Optional[jax.Array] = None,
                                   epilogue=None, epilogue_ops=(),
-                                  out_width: int = 0) -> jax.Array:
+                                  out_width: int = 0,
+                                  s2t_mode: str = "full") -> jax.Array:
     """Tiled-I/O temporal stack: consumes/produces the kernel's transposed
     tile layout directly, with the spatial→temporal Dense fused as a kernel
     prologue — no XLA pad/transpose round-trip between the spatial and
@@ -483,10 +498,12 @@ def fused_temporal_stack_v3_tiled(x_tiles: jax.Array, stacked: Dict,
         km = jnp.pad(key_mask.astype(jnp.float32), ((0, 0), (0, s - s_in)),
                      constant_values=1.0) * -1e9
         km = jnp.minimum(km, jnp.asarray(pad_row)[None])
-        keyband = km.reshape(n_tiles, wpt, s)
+        # Rank-2 band-space key mask (R, s) — see fused_temporal_stack_v3
+        keyband = jnp.broadcast_to(
+            km.reshape(n_tiles, wpt, 1, s),
+            (n_tiles, wpt, s, s)).reshape(n_tiles, r, s)
     else:
-        keyband = jnp.broadcast_to(jnp.asarray(pad_row)[None, None, :],
-                                   (n_tiles, wpt, s))
+        keyband = None
         first_masked_blocks = 0
 
     eband_np = np.zeros((wpt, r, s), np.float32)
@@ -531,18 +548,22 @@ def fused_temporal_stack_v3_tiled(x_tiles: jax.Array, stacked: Dict,
         kernel = _make_kernel_v3(n_grp, wpt, s, c, hidden, num_heads,
                                  fmb_grp, activation, precision, "banded",
                                  num_epilogue_refs=len(ep_ops), epilogue=ep,
-                                 attn_precision=attn_precision, s2t=with_s2t)
+                                 attn_precision=attn_precision, s2t=with_s2t,
+                                 s2t_mode=s2t_mode)
         grp_ops = block_ops[12 * done: 12 * (done + n_grp)]
         cur_cin = out.shape[1]
+        if fmb_grp > 0:
+            kb_arg, kb_spec = keyband, pl.BlockSpec(
+                (1, r, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        else:
+            kb_arg, kb_spec = padband, full(padband)
         in_specs = [
             pl.BlockSpec((1, cur_cin, r), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            full(eband), full(ebandT),
-            pl.BlockSpec((1, wpt, s), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            full(eband), full(ebandT), kb_spec,
             full(padband), full(ones_row),
         ]
-        args = [out, eband, ebandT, keyband, padband, ones_row]
+        args = [out, eband, ebandT, kb_arg, padband, ones_row]
         if with_s2t:
             in_specs += [full(op) for op in s2t_args[:3]]
             in_specs.append(pl.BlockSpec((1, 1, r), lambda i: (i, 0, 0),
