@@ -116,10 +116,12 @@ def run_variant(name, model, variables, x, sm):
         # dots follow <temporal prec> — the mixed-rung candidate)
         parts = name.split("_", 1)[1].split("-")
         sp_name, tm_name = parts[0], parts[1]
-        impl, attn_prec = "v3", None
+        impl, attn_prec, tiled = "v3", None, False
         for extra in parts[2:]:
             if extra == "attnd":
                 attn_prec = jax.lax.Precision.DEFAULT
+            elif extra == "tiled":
+                tiled = True
             else:
                 impl = extra
         to_prec = {"default": jax.lax.Precision.DEFAULT,
@@ -130,6 +132,7 @@ def run_variant(name, model, variables, x, sm):
             model, variables, x, sm,
             spatial_precision=to_prec[sp_name],
             temporal_precision=to_prec[tm_name], temporal_impl=impl,
+            temporal_attn="banded" if tiled else "full", fuse_s2t=tiled,
             temporal_attn_precision=attn_prec)))
 
     if name.startswith("rung_"):
@@ -146,26 +149,57 @@ def run_variant(name, model, variables, x, sm):
     raise SystemExit(f"unknown variant {name}")
 
 
+# On-chip regression bounds for the shipped eval rungs (random weights,
+# fixture scale ~4.6; see PERF_NOTES.md drift table). A kernel change that
+# breaks Mosaic lowering or leaks precision shows up here as a bound failure.
+ASSERT_BOUNDS = {
+    "rung_high": 0.5,      # parity rung; measured 0.172 mean
+    "rung_default": 120.0,  # throughput rung; measured ~55 — sanity only
+    "fused_high3": 50.0,    # spatial kernel HIGH3 + XLA tail; measured ~38
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=BATCH)
     ap.add_argument("--variants",
                     default="xla_default,xla_highest,fused_default,fused_high3")
+    ap.add_argument("--assert-bounds", action="store_true",
+                    help="run the shipped eval rungs on the real chip and "
+                         "fail (exit 1) if any drift bound regresses — the "
+                         "one-command on-hardware kernel regression probe")
     args = ap.parse_args()
+
+    if args.assert_bounds:
+        args.variants = ",".join(ASSERT_BOUNDS)
 
     truth = ensure_truth(args.batch)["central"].astype(np.float64)
     scale = float(np.std(truth))
 
     model, variables, x, sm = build_model_and_inputs(args.batch)
+    failures = []
     for name in args.variants.split(","):
         got = run_variant(name, model, variables, x, sm).astype(np.float64)
         dist = np.linalg.norm(got - truth, axis=-1)  # (B, 17) per-joint
-        print(json.dumps({
+        mean_mm = float(dist.mean() * 1000.0)
+        rec = {
             "variant": name,
-            "mean_mm": round(float(dist.mean() * 1000.0), 4),
+            "mean_mm": round(mean_mm, 4),
             "max_mm": round(float(dist.max() * 1000.0), 4),
             "out_std": round(scale, 4),
-        }), flush=True)
+        }
+        if args.assert_bounds and name in ASSERT_BOUNDS:
+            bound = ASSERT_BOUNDS[name]
+            rec["bound_mm"] = bound
+            rec["ok"] = mean_mm <= bound
+            if not rec["ok"]:
+                failures.append(name)
+        print(json.dumps(rec), flush=True)
+    if args.assert_bounds:
+        if failures:
+            print(f"REGRESSION: {failures} exceeded drift bounds", flush=True)
+            raise SystemExit(1)
+        print("kernel drift bounds OK", flush=True)
 
 
 if __name__ == "__main__":

@@ -505,12 +505,23 @@ def main():
                 return out.transpose(0, 2, 1).reshape(bb, s, c)[:, :71]
         sec = device_timer(fn, t_in)
     elif v.startswith("bench_fwd"):
-        # End-to-end fused bench path: bench_fwd[_v2][_spdefault|_sphigh3]
+        # End-to-end fused bench path:
+        #   bench_fwd[_v2][_sphigh3][_high3][_banded][_tiled][_twpt<N>]
+        # _tiled   → the fully-tiled kernel→kernel pipeline (fuse_s2t=True,
+        #            banded attention; see bench_forward docstring)
+        # _banded  → banded window attention on the legacy (non-tiled) path
+        # _high3   → HIGH3 dots in BOTH kernels (the parity rung)
+        # _sphigh3 → HIGH3 spatial only
         model, variables = build()
         from uplift_upsample_tpu.models.bench_forward import bench_forward
         from uplift_upsample_tpu.ops.pallas_spatial import HIGH3
         impl = "v2" if "_v2" in v else "v3"
-        sp_prec = HIGH3 if "sphigh3" in v else jax.lax.Precision.DEFAULT
+        high3_all = "_high3" in v and "_sphigh3" not in v
+        sp_prec = (HIGH3 if ("sphigh3" in v or high3_all)
+                   else jax.lax.Precision.DEFAULT)
+        tm_prec = HIGH3 if high3_all else jax.lax.Precision.DEFAULT
+        tiled = "_tiled" in v
+        attn = "banded" if ("_banded" in v or tiled) else "full"
         twpt = 4
         for part in v.split("_"):
             if part.startswith("twpt"):
@@ -520,8 +531,9 @@ def main():
             xm = x * sm[:, :, None, None].astype(x.dtype)
             return bench_forward(model, variables, xm, sm,
                                  spatial_precision=sp_prec,
-                                 temporal_precision=jax.lax.Precision.DEFAULT,
-                                 temporal_impl=impl, temporal_wpt=twpt)
+                                 temporal_precision=tm_prec,
+                                 temporal_impl=impl, temporal_wpt=twpt,
+                                 temporal_attn=attn, fuse_s2t=tiled)
         sec = device_timer(fn, x, sm)
     elif v.startswith("strided_"):
         dtype = "float32" if v.endswith("f32") else "bfloat16"
