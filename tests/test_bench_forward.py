@@ -94,6 +94,41 @@ def test_bench_forward_tiled_matches_model():
                                atol=5e-5, rtol=1e-4)
 
 
+def test_bench_forward_keyframe_sparse_matches_dense():
+    """max_keyframes (spatial stack on gathered real-input frames only) must
+    be EXACT vs the dense path — the model multiplies masked frames' spatial
+    output by zero, and the spatial stage is frame-independent. Mixed
+    per-window mask patterns (different strides and phases, counts below and
+    at the bound) exercise the gather/inverse-gather logic."""
+    config = _flagship_small()
+    model = build_uplift_upsample_transformer(config)
+    variables = init_model_params(model, seed=11)
+
+    rng = np.random.default_rng(11)
+    b, n = 4, config.SEQUENCE_LENGTH
+    sm_np = np.zeros((b, n), dtype=bool)
+    sm_np[0, 0::5] = True   # 6 keyframes (the bound)
+    sm_np[1, 2::5] = True   # phase-shifted, 5
+    sm_np[2, 1::10] = True  # sparser, 3
+    sm_np[3, 4::7] = True   # irregular stride, 4
+    sm = jnp.asarray(sm_np)
+    x = jnp.asarray(rng.normal(size=(b, n, 17, 2)).astype(np.float32) * 0.3)
+    xm = x * sm[:, :, None, None].astype(x.dtype)
+
+    with pltpu.force_tpu_interpret_mode():
+        dense = bench_forward(model, variables, xm, sm,
+                              spatial_precision=jax.lax.Precision.HIGHEST,
+                              temporal_precision=jax.lax.Precision.HIGHEST)
+        sparse = bench_forward(model, variables, xm, sm,
+                               spatial_precision=jax.lax.Precision.HIGHEST,
+                               temporal_precision=jax.lax.Precision.HIGHEST,
+                               max_keyframes=6)
+    # Not bit-equal: the gathered (B, KF, ·) s2t matmul blocks/accumulates in
+    # a different order than the (B, N, ·) dense one. 2e-5 ≈ f32 noise.
+    np.testing.assert_allclose(np.asarray(sparse), np.asarray(dense),
+                               atol=2e-5, rtol=0)
+
+
 def test_temporal_input_splice_alone():
     """model(temporal_input=True) must equal the tail of the full model."""
     config = _flagship_small()

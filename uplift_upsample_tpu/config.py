@@ -220,5 +220,11 @@ class UpliftUpsampleConfig(Config):
     # the fused Pallas spatial+temporal+strided kernels (the benchmark
     # configuration); "auto" picks "full" on accelerators, XLA on CPU.
     EVAL_FUSED = "auto"
+    # Window-sparse strided eval: run the model only on keyframe-centered
+    # windows (index % keyframe_stride == 0); all other windows' predictions
+    # are interpolation-only in the strided protocol (reference
+    # eval.py:209-222) so metrics are identical while ~1/stride of the
+    # windows are computed. False = reference-style dense evaluation.
+    EVAL_SKIP_INTERPOLATED_WINDOWS = True
     # Data-parallel devices to use (-1: all visible devices).
     DATA_PARALLEL_DEVICES = -1

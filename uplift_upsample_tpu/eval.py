@@ -40,7 +40,8 @@ def log(*args):
 
 def make_test_step(model, variables, flip_tta: bool, flip_lr_indices,
                    fused_spatial: bool = False, strict_precision: bool = False,
-                   fused: str = None, precision: str = None):
+                   fused: str = None, precision: str = None,
+                   max_keyframes: int = None):
     """Jitted forward step with optional fused flip-TTA.
 
     `fused` selects the eval compute path — THE one configuration shared by
@@ -53,6 +54,11 @@ def make_test_step(model, variables, flip_tta: bool, flip_lr_indices,
       - "spatial": fused spatial kernel + XLA tail (legacy fused_spatial).
       - "none": pure XLA model.apply.
     `fused_spatial` is the legacy boolean for "spatial".
+    `max_keyframes`: keyframe-sparse spatial stage on the "full" path — the
+    spatial stack runs only on the ≤max_keyframes real-input frames per
+    window (the model discards masked frames' spatial output; see
+    bench_forward). Exact when every window has at most that many keyframes;
+    the caller derives it from the static MASK_STRIDE (ceil(N/s)).
 
     Returns fn(keypoints2d (B,N,K,2) unmasked, stride_mask (B,N) bool)
     → (pred_sequence (B,N,K,3) | None, pred_central (B,K,3)).
@@ -91,7 +97,8 @@ def make_test_step(model, variables, flip_tta: bool, flip_lr_indices,
                 x = x * stride_mask[:, :, None, None].astype(x.dtype)
             central = bench_forward(
                 model, variables, x, stride_mask, spatial_precision=sp_prec,
-                temporal_precision=tm_prec, stacked_temporal=stacked)
+                temporal_precision=tm_prec, stacked_temporal=stacked,
+                max_keyframes=max_keyframes)
             return None, central
     elif fused in ("full", "spatial") and model.spatial_depth > 0:
         from .ops.pallas_spatial import HIGH3, spatial_stack_apply
@@ -193,20 +200,80 @@ def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d
                           else "none")
         else:
             fused_mode = "full"
+    # Keyframe-sparse spatial stage: window tokens sit at global frames
+    # i + (t-mid)·stride, and the aligned eval mask marks tokens with global
+    # frame ≡ 0 (mod ms) (reference uplifiting_dataset.py:381-394), so real-
+    # input tokens recur with token period ms/gcd(stride, ms) — at most
+    # ceil(N/period) per window. The model discards every other frame's
+    # spatial output, so the spatial kernel runs only on the keyframes.
+    # Exact; verified by tests/test_bench_forward.py. period == 1 (e.g. the
+    # flagship s_in=5 at stride 5: computed windows are fully dense) → off.
+    max_kf = None
+    ms = config.MASK_STRIDE
+    if isinstance(ms, int) and ms > 1:
+        import math
+        period = ms // math.gcd(config.SEQUENCE_STRIDE, ms)
+        if period > 1:
+            max_kf = -(-config.SEQUENCE_LENGTH // period)
     test_step = make_test_step(
         model, variables, flip_tta=config.EVAL_FLIP,
         flip_lr_indices=config.AUGM_FLIP_KEYPOINT_ORDER,
         fused=fused_mode,
-        precision=getattr(config, "EVAL_MATMUL_PRECISION", "high") or "high")
+        precision=getattr(config, "EVAL_MATMUL_PRECISION", "high") or "high",
+        max_keyframes=max_kf)
 
     log(f"Running evaluation on '{test_subset}' with {num_examples} examples")
     start = time.time()
     mid_index = config.SEQUENCE_LENGTH // 2
     root = config.ROOT_KEYTPOINT
 
-    gt_central, pred_central = [], []
+    # Window-sparse strided eval: the interpolation pass overwrites every
+    # prediction whose frame index is not a multiple of the keyframe stride
+    # (reference eval.py:209-222 + action_wise_eval.py:76-100 — non-keyframe
+    # rows are pure interpolation of keyframe rows), and the KEYFRAMES report
+    # reads only index % MASK_STRIDE == 0 rows. So the model only needs to
+    # run on keyframe-centered windows — 1/stride of the dataset — for
+    # bit-identical metrics. Each computed window thus uplifts `stride`
+    # output frames. Gated on MASK_STRIDE % keyframe_stride == 0 so the
+    # KEYFRAMES subset stays inside the computed set.
+    strided_eval = config.SEQUENCE_STRIDE > 1 and config.TEST_STRIDED_EVAL
+    kf_stride = config.SEQUENCE_STRIDE
+    if config.EVAL_DISABLE_LEARNED_UPSAMPLING and config.MASK_STRIDE is not None:
+        kf_stride = config.MASK_STRIDE
+    ms_ = config.MASK_STRIDE
+    window_sparse = (
+        strided_eval and isinstance(kf_stride, int) and kf_stride > 1
+        and (ms_ is None or (isinstance(ms_, int) and ms_ % kf_stride == 0))
+        and bool(getattr(config, "EVAL_SKIP_INTERPOLATED_WINDOWS", True)))
+    if window_sparse:
+        log(f"Window-sparse strided eval: computing only every "
+            f"{kf_stride}-th window (others are interpolation-only)")
+
+    gt_central = []
     gt_subjects, gt_actions, gt_indices = [], [], []
     examples = 0
+    # Packed keyframe-window batches: rows accumulate across incoming batches
+    # and run through test_step only when a full batch is ready (one compiled
+    # shape); device predictions are scattered back by global example row.
+    pend_x, pend_sm, pend_pos = [], [], []
+    pred_parts = []  # (device_pred, positions, count)
+
+    def flush(force=False):
+        bs = config.BATCH_SIZE
+        while len(pend_pos) >= bs or (force and pend_pos):
+            take = min(bs, len(pend_pos))
+            xb = np.stack(pend_x[:take])
+            smb = np.stack(pend_sm[:take])
+            if take < bs:  # pad the final partial batch
+                rep = (0, bs - take)
+                xb = np.pad(xb, (rep, (0, 0), (0, 0), (0, 0)), mode="edge")
+                smb = np.pad(smb, (rep, (0, 0)), mode="edge")
+            _, pred = test_step(jnp.asarray(xb), jnp.asarray(smb))
+            pred_parts.append((pred, np.asarray(pend_pos[:take]), take))
+            del pend_x[:take], pend_sm[:take], pend_pos[:take]
+            if not force:
+                break
+
     # Native-accelerated batches; chained deterministic epochs == the
     # reference's repeat(2) → batch → take(ceil) protocol. Matmul precision
     # binds at trace time (first test_step call inside the context).
@@ -216,24 +283,38 @@ def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d
             getattr(config, "EVAL_MATMUL_PRECISION", "default") or "default"):
         for batch in itertools.islice(fast.batches(), num_batches):
             seq3d, seq2d, seq_mask, cams, subjects, actions, indices, stride_masks = batch
-            _, pred = test_step(jnp.asarray(seq2d), jnp.asarray(stride_masks))
 
             include = min(config.BATCH_SIZE, num_examples - examples)
+            if window_sparse:
+                rows = np.nonzero(indices[:include] % kf_stride == 0)[0]
+                for r in rows:
+                    pend_x.append(seq2d[r])
+                    pend_sm.append(stride_masks[r])
+                    pend_pos.append(examples + int(r))
+                flush()
+            else:
+                _, pred = test_step(jnp.asarray(seq2d), jnp.asarray(stride_masks))
+                # Keep predictions on device; fetching here would sync every
+                # batch (expensive through relay-tunneled PJRT). One transfer
+                # at the end.
+                pred_parts.append((pred, np.arange(examples, examples + include),
+                                   include))
             seq3d = seq3d - seq3d[:, :, root:root + 1, :]
             gt_central.extend(seq3d[:include, mid_index])
-            # Keep predictions on device; fetching here would sync every batch
-            # (expensive through relay-tunneled PJRT). One transfer at the end.
-            pred_central.append(pred[:include])
             gt_subjects.extend(subjects[:include])
             gt_actions.extend(actions[:include])
             gt_indices.extend(indices[:include])
             examples += include
+        if window_sparse:
+            flush(force=True)
 
     gt_central = np.stack(gt_central, axis=0).astype(np.float64)
     gt_central = np.concatenate(
         [gt_central, np.ones(gt_central.shape[:-1] + (1,))], axis=-1)
-    pred_central = np.concatenate(
-        [np.asarray(jax.device_get(p)) for p in pred_central], axis=0).astype(np.float64)
+    pred_central = np.zeros((num_examples, config.NUM_KEYPOINTS, 3), np.float64)
+    for pred, positions, count in pred_parts:
+        pred_central[positions] = np.asarray(
+            jax.device_get(pred))[:count].astype(np.float64)
     gt_actions = np.stack(gt_actions, axis=0)
     gt_indices = np.stack(gt_indices, axis=0)
 

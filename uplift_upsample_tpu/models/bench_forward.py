@@ -109,7 +109,8 @@ def bench_forward(model: UpliftUpsampleTransformer, variables, x2d_masked,
                   stride_mask, *, spatial_precision, temporal_precision,
                   stacked_temporal=None, temporal_impl: str = "v3",
                   temporal_wpt: int = 4, temporal_attn: str = "full",
-                  temporal_attn_precision=None, fuse_s2t: bool = False):
+                  temporal_attn_precision=None, fuse_s2t: bool = False,
+                  max_keyframes: int = None):
     """Central-frame output of the fused eval path.
 
     x2d_masked: (B, N, 17, 2) already masked at non-keyframes;
@@ -121,6 +122,15 @@ def bench_forward(model: UpliftUpsampleTransformer, variables, x2d_masked,
     allows (strides[0] with padding (0,0), v3, banded). Off by default
     until the tiled temporal kernel's Mosaic compile hang is resolved
     (PERF_NOTES round 3) — interpret-mode parity is green.
+    max_keyframes: keyframe-sparse spatial stage. The model multiplies the
+    spatial-stack output of every masked frame by zero and substitutes the
+    learned token (reference uplift_upsample_transformer.py:342-350), so
+    with MASK_STRIDE=s only ceil(N/s) frames per window ever use their
+    spatial computation. When set (and the model has strided input), the
+    spatial stack + s2t Dense run on a gathered (B, max_keyframes) frame
+    subset instead of all N — exact (the spatial stage is frame-independent)
+    as long as every window has at most `max_keyframes` real-input frames.
+    None → dense (all N frames).
     """
     params = variables["params"]
     if stacked_temporal is None:
@@ -150,12 +160,33 @@ def bench_forward(model: UpliftUpsampleTransformer, variables, x2d_masked,
             stacked_temporal=stacked_temporal, eff_wpt=eff_wpt,
             temporal_attn_precision=temporal_attn_precision)
 
-    sp = spatial_stack_apply(params, x2d_masked, num_blocks=model.spatial_depth,
-                             num_heads=model.num_heads,
-                             precision=spatial_precision)  # (B, N, P·C)
-
     fc = params["spatial_to_temporal_fc"]
-    y = sp @ fc["kernel"] + fc["bias"]
+    kf_sparse = (max_keyframes is not None and model.has_strided_input
+                 and 0 < max_keyframes < x2d_masked.shape[1])
+    if kf_sparse:
+        b, n = x2d_masked.shape[:2]
+        smb = stride_mask.astype(bool)
+        frame_ids = jnp.arange(n, dtype=jnp.int32)[None, :]
+        # Keyframe positions ascending, padded (beyond the window's real
+        # count) with non-keyframe positions whose spatial output is garbage
+        # that the inverse gather below never selects.
+        order = jnp.argsort(jnp.where(smb, frame_ids, n + frame_ids),
+                            axis=1)[:, :max_keyframes]          # (B, KF)
+        xg = jnp.take_along_axis(x2d_masked, order[:, :, None, None], axis=1)
+        sp = spatial_stack_apply(params, xg, num_blocks=model.spatial_depth,
+                                 num_heads=model.num_heads,
+                                 precision=spatial_precision)   # (B, KF, P·C)
+        y = sp @ fc["kernel"] + fc["bias"]                      # (B, KF, C)
+        # inverse gather: frame t ← its keyframe rank (masked frames point at
+        # an arbitrary real row; the mask gate zeroes them next)
+        inv = (jnp.cumsum(stride_mask.astype(jnp.int32), axis=1) - 1).clip(0)
+        y = jnp.take_along_axis(y, inv[:, :, None], axis=1)     # (B, N, C)
+    else:
+        sp = spatial_stack_apply(params, x2d_masked,
+                                 num_blocks=model.spatial_depth,
+                                 num_heads=model.num_heads,
+                                 precision=spatial_precision)  # (B, N, P·C)
+        y = sp @ fc["kernel"] + fc["bias"]
 
     inv_mask = None
     if model.has_strided_input:

@@ -99,6 +99,43 @@ def _dense_per_joint(x, w_t, bias, p_tokens, precision):
     return jnp.stack(rows, axis=0)
 
 
+def _qkv_per_joint(x, wq_b, wk_b, wv_b, p_tokens, precision):
+    """q/k/v per-joint dots sharing ONE per-joint activation split.
+
+    Under HIGH3 the generic path splits x[p] into bf16 hi/lo once per dot —
+    3x per joint for q/k/v on the same LN output. This computes the split
+    once per joint and reuses it for all three projections (the weight
+    hi/lo split already happens once per projection). Identical math.
+    """
+    if precision != HIGH3:
+        return tuple(_dense_per_joint(x, w_t, bias, p_tokens, precision)
+                     for w_t, bias in (wq_b, wk_b, wv_b))
+    dims = (((1,), (0,)), ((), ()))
+    splits = []
+    for p in range(p_tokens):
+        x_hi = x[p].astype(jnp.bfloat16).astype(jnp.float32)
+        splits.append((x_hi, x[p] - x_hi))
+    outs = []
+    for w_t, bias in (wq_b, wk_b, wv_b):
+        w_hi = w_t.astype(jnp.bfloat16).astype(jnp.float32)
+        w_lo = w_t - w_hi
+        rows = []
+        for p in range(p_tokens):
+            x_hi, x_lo = splits[p]
+            y = jax.lax.dot_general(w_hi, x_hi, dims,
+                                    preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.DEFAULT)
+            y += jax.lax.dot_general(w_hi, x_lo, dims,
+                                     preferred_element_type=jnp.float32,
+                                     precision=jax.lax.Precision.DEFAULT)
+            y += jax.lax.dot_general(w_lo, x_hi, dims,
+                                     preferred_element_type=jnp.float32,
+                                     precision=jax.lax.Precision.DEFAULT)
+            rows.append(y + bias)
+        outs.append(jnp.stack(rows, axis=0))
+    return tuple(outs)
+
+
 def _dense_per_joint_t(x, w_t, bias, p_tokens, num_heads, depth, precision):
     """Per-joint dots emitted in head-major T-layout (H, D, P, bt).
 
@@ -235,9 +272,11 @@ def _make_kernel(num_blocks: int, p_tokens: int, c: int, hidden: int,
                 ctx = jnp.stack([ctxT[:, :, p_, :].reshape(c, -1)
                                  for p_ in range(p_tokens)], axis=0)
             else:
-                q = _dense_per_joint(y, wq_ref[blk].T, bq_ref[blk].reshape(c, 1), p_tokens, precision)
-                k = _dense_per_joint(y, wk_ref[blk].T, bk_ref[blk].reshape(c, 1), p_tokens, precision)
-                v = _dense_per_joint(y, wv_ref[blk].T, bv_ref[blk].reshape(c, 1), p_tokens, precision)
+                q, k, v = _qkv_per_joint(
+                    y, (wq_ref[blk].T, bq_ref[blk].reshape(c, 1)),
+                    (wk_ref[blk].T, bk_ref[blk].reshape(c, 1)),
+                    (wv_ref[blk].T, bv_ref[blk].reshape(c, 1)),
+                    p_tokens, precision)
                 if bisect == "qkvonly":  # LN + qkv dots only
                     x = x + q + k + v
                     continue

@@ -75,7 +75,7 @@ def _make_kernel_v3(num_blocks: int, wpt: int, s: int, c: int, hidden: int,
                     activation: str, precision=jax.lax.Precision.DEFAULT,
                     attn_mode: str = "full", num_epilogue_refs: int = 0,
                     epilogue=None, attn_precision=None, s2t: bool = False,
-                    s2t_mode: str = "full"):
+                    s2t_mode: str = "full", presplit: bool = False):
     depth = c // num_heads
     scale_q = np.float32(1.0 / np.sqrt(depth))
     r = wpt * s
@@ -90,6 +90,36 @@ def _make_kernel_v3(num_blocks: int, wpt: int, s: int, c: int, hidden: int,
     dot = _dot_maker((((1,), (0,)), ((), ())), precision)
     dot_tt = _dot_maker((((0,), (0,)), ((), ())), attn_precision)  # contract sublanes
     dot_nt = _dot_maker((((1,), (1,)), ((), ())), attn_precision)  # contract lanes
+
+    def dense(wr, x):
+        """Residual-stream dense dot on a weight ref.
+
+        presplit (HIGH3 rung): the ref holds host-pre-split (2, out, in)
+        bf16 hi/lo planes, so the kernel does three bf16 MXU passes with
+        only the ACTIVATION split on the VPU — the in-kernel weight hi/lo
+        split of the generic HIGH3 dot (3 VPU passes over ~1.2M weight
+        elements per block, re-executed every grid step) disappears.
+        """
+        if presplit:
+            w_hi, w_lo = wr[0], wr[1]             # bf16 (out, in)
+            x_hi = x.astype(jnp.bfloat16)
+            x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            dims = (((1,), (0,)), ((), ()))
+            # Pin DEFAULT explicitly: an ambient default_matmul_precision
+            # ("high") context otherwise leaks in and Mosaic cannot lower
+            # Precision.HIGH (the 928d578 bug class).
+            dflt = jax.lax.Precision.DEFAULT
+            y = jax.lax.dot_general(w_hi, x_hi, dims,
+                                    preferred_element_type=jnp.float32,
+                                    precision=dflt)
+            y += jax.lax.dot_general(w_hi, x_lo, dims,
+                                     preferred_element_type=jnp.float32,
+                                     precision=dflt)
+            y += jax.lax.dot_general(w_lo, x_hi, dims,
+                                     preferred_element_type=jnp.float32,
+                                     precision=dflt)
+            return y
+        return dot(wr[:].astype(jnp.float32), x)
     # Banded mode: batched (over windows) band-select/expand dots. These
     # contract one-hot selectors, so DEFAULT (1-pass bf16) is exact on the
     # selector side; the logits side follows the attention precision.
@@ -141,7 +171,7 @@ def _make_kernel_v3(num_blocks: int, wpt: int, s: int, c: int, hidden: int,
             (ln1_g, ln1_b, wqkv, bqkv, wp, bp, ln2_g, ln2_b,
              w1, b1, w2, b2) = refs[base + 12 * blk: base + 12 * (blk + 1)]
             y = ln(x, ones_row, ln1_g[:], ln1_b[:], 1e-5)
-            qkv = dot(wqkv[:].astype(jnp.float32), y) + bqkv[:]  # (3C, R)
+            qkv = dense(wqkv, y) + bqkv[:]  # (3C, R)
 
             if attn_mode == "banded":
                 # Softmax only on the block-diagonal band: the (R, R) logits
@@ -175,15 +205,15 @@ def _make_kernel_v3(num_blocks: int, wpt: int, s: int, c: int, hidden: int,
                                      ebandT).reshape(r, r)       # (R, R)
                     ctx_parts.append(dot_nt(vh, wfull))          # (48, R)
                 ctx = jnp.concatenate(ctx_parts, axis=0)
-                x = x + dot(wp[:].astype(jnp.float32), ctx) + bp[:]
+                x = x + dense(wp, ctx) + bp[:]
                 z = ln(x, ones_row, ln2_g[:], ln2_b[:], 1e-5)
-                z = dot(w1[:].astype(jnp.float32), z) + b1[:]
+                z = dense(w1, z) + b1[:]
                 if activation == "relu":
                     z = jnp.maximum(z, 0.0)
                 else:
                     from .pallas_spatial import _erf
                     z = 0.5 * z * (1.0 + _erf(z * np.float32(1.0 / np.sqrt(2.0))))
-                x = x + dot(w2[:].astype(jnp.float32), z) + b2[:]
+                x = x + dense(w2, z) + b2[:]
                 continue
 
             if blk < first_masked_blocks:
@@ -227,17 +257,17 @@ def _make_kernel_v3(num_blocks: int, wpt: int, s: int, c: int, hidden: int,
                 ctx_parts.append(dot_nt(vh, wgt))                    # (48, R)
               ctx = jnp.concatenate(ctx_parts, axis=0)               # (C, R)
 
-            x = x + dot(wp[:].astype(jnp.float32), ctx) + bp[:]
+            x = x + dense(wp, ctx) + bp[:]
             if attn_mode == "nomlp":
                 continue
             z = ln(x, ones_row, ln2_g[:], ln2_b[:], 1e-5)
-            z = dot(w1[:].astype(jnp.float32), z) + b1[:]
+            z = dense(w1, z) + b1[:]
             if activation == "relu":
                 z = jnp.maximum(z, 0.0)
             else:
                 from .pallas_spatial import _erf
                 z = 0.5 * z * (1.0 + _erf(z * np.float32(1.0 / np.sqrt(2.0))))
-            x = x + dot(w2[:].astype(jnp.float32), z) + b2[:]
+            x = x + dense(w2, z) + b2[:]
         if epilogue is not None:
             ep_refs = refs[base + 12 * num_blocks: base + 12 * num_blocks
                            + num_epilogue_refs]
@@ -257,7 +287,7 @@ def _make_kernel_v3(num_blocks: int, wpt: int, s: int, c: int, hidden: int,
 
 
 def _transposed_operands(stacked: Dict, num_blocks: int, weights_dtype,
-                         q_scale=None):
+                         q_scale=None, presplit: bool = False):
     """Per-block kernel operands in the transposed layout.
 
     stacked: `stack_temporal_params` output (wqkv (L,C,3C) etc., row-major
@@ -266,12 +296,26 @@ def _transposed_operands(stacked: Dict, num_blocks: int, weights_dtype,
     attention 1/sqrt(d) is folded into the q rows of wqkv/bqkv so the
     kernel does not rescale q (one fewer (depth, R) pass per head/block) —
     the kernel's `fold_q_scale` must match.
+
+    presplit (HIGH3 rung): weight matrices become stacked (2, out, in) bf16
+    hi/lo planes (hi = bf16(w), lo = bf16(w − hi)) computed once on host,
+    so the kernel's bf16x3 dense dots skip the per-grid-step weight split
+    (see `_make_kernel_v3.dense`). Same VMEM bytes as one f32 plane.
     """
     c = stacked["wqkv"].shape[1]
+
+    def wmat(a):
+        a = jnp.asarray(a, jnp.float32)
+        if not presplit:
+            return a.astype(weights_dtype)
+        hi = a.astype(jnp.bfloat16)
+        lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return jnp.stack([hi, lo])
+
     ops = []
     for blk in range(num_blocks):
         col = lambda a: jnp.asarray(a, jnp.float32)[:, None]
-        wqkv_t = jnp.asarray(stacked["wqkv"][blk]).T
+        wqkv_t = jnp.asarray(stacked["wqkv"][blk], jnp.float32).T
         bqkv_c = col(stacked["bqkv"][blk])
         if q_scale is not None:
             qs = jnp.float32(q_scale)
@@ -279,14 +323,14 @@ def _transposed_operands(stacked: Dict, num_blocks: int, weights_dtype,
             bqkv_c = jnp.concatenate([bqkv_c[:c] * qs, bqkv_c[c:]], axis=0)
         ops += [
             col(stacked["ln1_g"][blk]), col(stacked["ln1_b"][blk]),
-            wqkv_t.astype(weights_dtype),
+            wmat(wqkv_t),
             bqkv_c,
-            jnp.asarray(stacked["wp"][blk]).T.astype(weights_dtype),
+            wmat(jnp.asarray(stacked["wp"][blk]).T),
             col(stacked["bp"][blk]),
             col(stacked["ln2_g"][blk]), col(stacked["ln2_b"][blk]),
-            jnp.asarray(stacked["w1"][blk]).T.astype(weights_dtype),
+            wmat(jnp.asarray(stacked["w1"][blk]).T),
             col(stacked["b1"][blk]),
-            jnp.asarray(stacked["w2"][blk]).T.astype(weights_dtype),
+            wmat(jnp.asarray(stacked["w2"][blk]).T),
             col(stacked["b2"][blk]),
         ]
     return ops
@@ -391,10 +435,15 @@ def fused_temporal_stack_v3(x: jax.Array, stacked: Dict,
     per_block = (3 * c * c + c * c + 2 * c * hidden) * itemsize
     group = max(1, min(num_blocks, int(10e6 // max(per_block, 1))))
 
+    # HIGH3 rung: pre-split weight hi/lo planes on host (the in-kernel split
+    # would re-run every grid step); prepped_ops callers keep the in-kernel
+    # split.
+    presplit = precision == HIGH3 and prepped_ops is None
     block_ops = (list(prepped_ops) if prepped_ops is not None
                  else _transposed_operands(
                      stacked, num_blocks, weights_dtype,
-                     q_scale=1.0 / np.sqrt(c // num_heads)))
+                     q_scale=1.0 / np.sqrt(c // num_heads),
+                     presplit=presplit))
     out = x_t
     done = 0
     while done < num_blocks:
@@ -406,7 +455,8 @@ def fused_temporal_stack_v3(x: jax.Array, stacked: Dict,
         kernel = _make_kernel_v3(n_grp, wpt, s, c, hidden, num_heads,
                                  fmb_grp, activation, precision, attn_mode,
                                  num_epilogue_refs=len(ep_ops), epilogue=ep,
-                                 attn_precision=attn_precision)
+                                 attn_precision=attn_precision,
+                                 presplit=presplit)
         grp_ops = block_ops[12 * done: 12 * (done + n_grp)]
         x_spec = pl.BlockSpec((1, c, r), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)
@@ -532,8 +582,10 @@ def fused_temporal_stack_v3_tiled(x_tiles: jax.Array, stacked: Dict,
     itemsize = jnp.dtype(weights_dtype).itemsize
     per_block = (3 * c * c + c * c + 2 * c * hidden) * itemsize
     group = max(1, min(num_blocks, int(10e6 // max(per_block, 1))))
+    presplit = precision == HIGH3
     block_ops = _transposed_operands(stacked, num_blocks, weights_dtype,
-                                     q_scale=1.0 / np.sqrt(c // num_heads))
+                                     q_scale=1.0 / np.sqrt(c // num_heads),
+                                     presplit=presplit)
 
     out = x_tiles
     done = 0
@@ -549,7 +601,7 @@ def fused_temporal_stack_v3_tiled(x_tiles: jax.Array, stacked: Dict,
                                  fmb_grp, activation, precision, "banded",
                                  num_epilogue_refs=len(ep_ops), epilogue=ep,
                                  attn_precision=attn_precision, s2t=with_s2t,
-                                 s2t_mode=s2t_mode)
+                                 s2t_mode=s2t_mode, presplit=presplit)
         grp_ops = block_ops[12 * done: 12 * (done + n_grp)]
         cur_cin = out.shape[1]
         if fmb_grp > 0:
