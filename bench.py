@@ -92,6 +92,7 @@ def bench_train(args):
                             "decay_rate": 0.99, "staircase": True},
         "TRAIN_FUSED_SPATIAL": args.train_fused,
         "TRAIN_FUSED_TEMPORAL": args.train_fused_temporal,
+        "TRAIN_MATMUL_PRECISION": args.train_precision,
     })
     model = build_uplift_upsample_transformer(config)
     params = init_model_params(model, seed=0)["params"]
@@ -149,7 +150,8 @@ def bench_train(args):
     }))
     print(f"# train device={jax.devices()[0].device_kind} batch={args.batch} "
           f"ms/step={per_step * 1e3:.1f} fused={args.train_fused} "
-          f"fused_temporal={args.train_fused_temporal}", file=sys.stderr)
+          f"fused_temporal={args.train_fused_temporal} "
+          f"precision={args.train_precision}", file=sys.stderr)
 
 
 def main():
@@ -179,6 +181,10 @@ def main():
                         action="store_false",
                         help="with --train: disable the fused temporal "
                              "train blocks (ops/pallas_temporal_bwd.py)")
+    parser.add_argument("--train-precision", default="mixed",
+                        choices=["mixed", "default", "high", "highest"],
+                        help="with --train: TRAIN_MATMUL_PRECISION rung for "
+                             "the fused train kernels (see config.py)")
     parser.add_argument("--per-window", action="store_true",
                         help="report computed windows/sec as the metric "
                              "instead of protocol uplifted frames/sec "
@@ -199,11 +205,14 @@ def main():
     # numbers. `--precision default` benches the faster 1-pass-bf16 rung.
     from uplift_upsample_tpu.data.keypoint_order import H36MOrder17P
     from uplift_upsample_tpu.eval import make_test_step
+    # assume_dense_mask: the benched workload is the protocol's computed
+    # window (all 71 tokens real at s_in=5), so the first-block key-mask
+    # machinery is statically inert — same configuration eval.py resolves.
     test_step = make_test_step(
         model, variables, flip_tta=args.flip_tta,
         flip_lr_indices=H36MOrder17P.flip_lr_indices(),
         fused="full" if args.fused_spatial else "none",
-        precision=args.precision)
+        precision=args.precision, assume_dense_mask=True)
 
     def forward(variables, x, sm):
         del variables  # bound inside test_step

@@ -172,3 +172,27 @@ def test_bench_forward_padded_strides_fallback():
                             temporal_precision=jax.lax.Precision.HIGHEST)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=5e-5, rtol=1e-4)
+
+
+def test_bench_forward_assume_dense_mask_matches():
+    """assume_dense_mask=True (key-mask machinery skipped) must equal the
+    default path when the stride mask is genuinely all-ones."""
+    config = _flagship_small()
+    model = build_uplift_upsample_transformer(config)
+    variables = init_model_params(model, seed=13)
+
+    rng = np.random.default_rng(13)
+    b, n = 4, config.SEQUENCE_LENGTH
+    sm = jnp.asarray(np.ones((b, n), dtype=bool))
+    x = jnp.asarray(rng.normal(size=(b, n, 17, 2)).astype(np.float32) * 0.3)
+
+    with pltpu.force_tpu_interpret_mode():
+        base = bench_forward(model, variables, x, sm,
+                             spatial_precision=jax.lax.Precision.HIGHEST,
+                             temporal_precision=jax.lax.Precision.HIGHEST)
+        dense = bench_forward(model, variables, x, sm,
+                              spatial_precision=jax.lax.Precision.HIGHEST,
+                              temporal_precision=jax.lax.Precision.HIGHEST,
+                              assume_dense_mask=True)
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(base),
+                               atol=1e-6, rtol=1e-6)

@@ -134,3 +134,26 @@ def test_pallas_bwd_kernel_vs_xla_vjp():
         np.testing.assert_allclose(np.asarray(ds[name]),
                                    np.asarray(ds_ref[name]),
                                    atol=3e-4, rtol=1e-3, err_msg=name)
+
+
+@pytest.mark.slow
+def test_fused_train_grads_high3_rung():
+    """TRAIN_MATMUL_PRECISION='high' (bf16x3 fwd+bwd): gradients must track
+    the flax f32 reference to bf16x3 accuracy (~2^-16 relative) — the rung
+    that halves the HIGHEST dot cost while staying above the reference's
+    effective TF32 training precision."""
+    with pltpu.force_tpu_interpret_mode():
+        loss_h, grads_h = _run_steps(_config(TRAIN_FUSED_SPATIAL=True,
+                                             TRAIN_MATMUL_PRECISION="high"))
+    loss_x, grads_x = _run_steps(_config(TRAIN_FUSED_SPATIAL=False))
+
+    assert np.isclose(loss_h, loss_x, atol=1e-4), (loss_h, loss_x)
+    flat_h = jax.tree_util.tree_flatten_with_path(grads_h)[0]
+    flat_x = {"/".join(str(k) for k in kp): v
+              for kp, v in jax.tree_util.tree_flatten_with_path(grads_x)[0]}
+    for kp, gh in flat_h:
+        key = "/".join(str(k) for k in kp)
+        gx = flat_x[key]
+        scale = max(1e-3, float(np.max(np.abs(np.asarray(gx)))))
+        np.testing.assert_allclose(np.asarray(gh), np.asarray(gx),
+                                   atol=2e-4 * scale, rtol=0, err_msg=key)

@@ -211,6 +211,12 @@ class UpliftUpsampleConfig(Config):
     # 79.8 ms/step vs 82.2 spatial-only at B=512. "auto" follows
     # TRAIN_FUSED_SPATIAL's accelerator gating.
     TRAIN_FUSED_TEMPORAL = "auto"
+    # Matmul precision for the fused TRAIN kernels (fwd+bwd dots):
+    # "mixed" (spatial HIGHEST / temporal DEFAULT — the round-2 shipped
+    # behavior), "high" (bf16x3 everywhere; above the reference's effective
+    # TF32 training precision at ~half the HIGHEST dot cost), "default"
+    # (1-pass bf16), "highest" (full f32).
+    TRAIN_MATMUL_PRECISION = "mixed"
     # Matmul precision for eval ("default" | "high" | "highest"): TPU
     # "default" runs f32 dots as 1-pass bf16 (~0.8% relative output drift —
     # throughput mode); "high" = bf16x3 (~1e-5 relative, holds the 0.1 mm

@@ -41,7 +41,8 @@ def log(*args):
 def make_test_step(model, variables, flip_tta: bool, flip_lr_indices,
                    fused_spatial: bool = False, strict_precision: bool = False,
                    fused: str = None, precision: str = None,
-                   max_keyframes: int = None):
+                   max_keyframes: int = None,
+                   assume_dense_mask: bool = False):
     """Jitted forward step with optional fused flip-TTA.
 
     `fused` selects the eval compute path — THE one configuration shared by
@@ -98,7 +99,8 @@ def make_test_step(model, variables, flip_tta: bool, flip_lr_indices,
             central = bench_forward(
                 model, variables, x, stride_mask, spatial_precision=sp_prec,
                 temporal_precision=tm_prec, stacked_temporal=stacked,
-                max_keyframes=max_keyframes)
+                max_keyframes=max_keyframes,
+                assume_dense_mask=assume_dense_mask)
             return None, central
     elif fused in ("full", "spatial") and model.spatial_depth > 0:
         from .ops.pallas_spatial import HIGH3, spatial_stack_apply
@@ -209,23 +211,13 @@ def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d
     # Exact; verified by tests/test_bench_forward.py. period == 1 (e.g. the
     # flagship s_in=5 at stride 5: computed windows are fully dense) → off.
     max_kf = None
+    period = None
     ms = config.MASK_STRIDE
     if isinstance(ms, int) and ms > 1:
         import math
         period = ms // math.gcd(config.SEQUENCE_STRIDE, ms)
         if period > 1:
             max_kf = -(-config.SEQUENCE_LENGTH // period)
-    test_step = make_test_step(
-        model, variables, flip_tta=config.EVAL_FLIP,
-        flip_lr_indices=config.AUGM_FLIP_KEYPOINT_ORDER,
-        fused=fused_mode,
-        precision=getattr(config, "EVAL_MATMUL_PRECISION", "high") or "high",
-        max_keyframes=max_kf)
-
-    log(f"Running evaluation on '{test_subset}' with {num_examples} examples")
-    start = time.time()
-    mid_index = config.SEQUENCE_LENGTH // 2
-    root = config.ROOT_KEYTPOINT
 
     # Window-sparse strided eval: the interpolation pass overwrites every
     # prediction whose frame index is not a multiple of the keyframe stride
@@ -245,6 +237,24 @@ def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d
         strided_eval and isinstance(kf_stride, int) and kf_stride > 1
         and (ms_ is None or (isinstance(ms_, int) and ms_ % kf_stride == 0))
         and bool(getattr(config, "EVAL_SKIP_INTERPOLATED_WINDOWS", True)))
+
+    # With token period 1 (ms divides stride) every COMPUTED window's mask is
+    # all-ones (its center i is a multiple of kf_stride, and ms | kf_stride
+    # in both kf_stride branches), so the first-block key-mask machinery is
+    # statically inert — skip it.
+    assume_dense = bool(window_sparse and period == 1)
+    test_step = make_test_step(
+        model, variables, flip_tta=config.EVAL_FLIP,
+        flip_lr_indices=config.AUGM_FLIP_KEYPOINT_ORDER,
+        fused=fused_mode,
+        precision=getattr(config, "EVAL_MATMUL_PRECISION", "high") or "high",
+        max_keyframes=max_kf, assume_dense_mask=assume_dense)
+
+    log(f"Running evaluation on '{test_subset}' with {num_examples} examples")
+    start = time.time()
+    mid_index = config.SEQUENCE_LENGTH // 2
+    root = config.ROOT_KEYTPOINT
+
     if window_sparse:
         log(f"Window-sparse strided eval: computing only every "
             f"{kf_stride}-th window (others are interpolation-only)")

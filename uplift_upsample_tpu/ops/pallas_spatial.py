@@ -539,27 +539,32 @@ def _xla_spatial_stack(stacked: Dict, x_t: jax.Array, droppath_scales,
 SPATIAL_BWD_IMPL = "pallas"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_spatial_train(stacked: Dict, x_t: jax.Array, droppath_scales,
-                        num_blocks: int, num_heads: int):
+                        num_blocks: int, num_heads: int,
+                        precision=jax.lax.Precision.HIGHEST):
     """Fused Pallas forward with a hand-written Pallas backward.
 
     stacked: stack_spatial_params output; x_t: (P, 2, F);
     droppath_scales: (2*num_blocks, F) stochastic-depth scales (0 or
     1/keep_prob per frame per residual branch), or ones at eval.
+    precision: the TRAIN_MATMUL_PRECISION rung for fwd AND bwd dots
+    (HIGHEST = full f32, HIGH3 = bf16x3 — both above the reference's
+    effective TF32 training precision; DEFAULT = 1-pass bf16).
     """
     return fused_spatial_stack(x_t, stacked, num_blocks=num_blocks,
                                num_heads=num_heads,
-                               precision=jax.lax.Precision.HIGHEST,
+                               precision=precision,
                                droppath_scales=droppath_scales)
 
 
-def _fst_fwd(stacked, x_t, droppath_scales, num_blocks, num_heads):
-    out = fused_spatial_train(stacked, x_t, droppath_scales, num_blocks, num_heads)
+def _fst_fwd(stacked, x_t, droppath_scales, num_blocks, num_heads, precision):
+    out = fused_spatial_train(stacked, x_t, droppath_scales, num_blocks,
+                              num_heads, precision)
     return out, (stacked, x_t, droppath_scales)
 
 
-def _fst_bwd(num_blocks, num_heads, residuals, g):
+def _fst_bwd(num_blocks, num_heads, precision, residuals, g):
     stacked, x_t, droppath_scales = residuals
 
     if SPATIAL_BWD_IMPL == "pallas":
@@ -568,7 +573,8 @@ def _fst_bwd(num_blocks, num_heads, residuals, g):
         if dps is None:
             dps = jnp.ones((2 * num_blocks, x_t.shape[-1]), jnp.float32)
         ds, dx, ddp = fused_spatial_stack_bwd(
-            x_t, stacked, dps, g, num_blocks=num_blocks, num_heads=num_heads)
+            x_t, stacked, dps, g, num_blocks=num_blocks, num_heads=num_heads,
+            precision=precision)
         return ds, dx, (None if droppath_scales is None else ddp)
 
     def ref(stacked, x_t, dps):

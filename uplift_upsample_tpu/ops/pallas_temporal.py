@@ -228,12 +228,14 @@ def stack_temporal_params(params: Dict, num_blocks: int,
     projection is a single MXU dot. Missing biases become zeros.
     """
     blocks = [params[f"{prefix}{i + 1}"] for i in range(num_blocks)]
-    c = np.asarray(blocks[0]["attn"]["wq"]["kernel"]).shape[0]
-    hidden = np.asarray(blocks[0]["mlp"]["fc1"]["kernel"]).shape[1]
+    # shape access only — tracer-safe (this runs inside jit for the fused
+    # TRAIN path, where params are traced arrays)
+    c = blocks[0]["attn"]["wq"]["kernel"].shape[0]
+    hidden = blocks[0]["mlp"]["fc1"]["kernel"].shape[1]
 
     def bias(p, name, n):
         b = p.get(name, {}).get("bias")
-        return np.zeros((n,), np.float32) if b is None else np.asarray(b, np.float32)
+        return jnp.zeros((n,), jnp.float32) if b is None else jnp.asarray(b, jnp.float32)
 
     def st(get):
         return jnp.stack([jnp.asarray(get(b), jnp.float32) for b in blocks])
@@ -241,10 +243,10 @@ def stack_temporal_params(params: Dict, num_blocks: int,
     return dict(
         ln1_g=st(lambda b: b["norm1"]["scale"]),
         ln1_b=st(lambda b: b["norm1"]["bias"]),
-        wqkv=st(lambda b: np.concatenate(
-            [np.asarray(b["attn"][w]["kernel"], np.float32)
+        wqkv=st(lambda b: jnp.concatenate(
+            [jnp.asarray(b["attn"][w]["kernel"], jnp.float32)
              for w in ("wq", "wk", "wv")], axis=1)),
-        bqkv=st(lambda b: np.concatenate(
+        bqkv=st(lambda b: jnp.concatenate(
             [bias(b["attn"], w, c) for w in ("wq", "wk", "wv")])),
         wp=st(lambda b: b["attn"]["proj"]["kernel"]),
         bp=st(lambda b: bias(b["attn"], "proj", c)),

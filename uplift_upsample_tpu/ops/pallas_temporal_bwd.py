@@ -554,7 +554,8 @@ def _grad_shapes(c, hidden):
 
 
 def _fts_impl_fwd(x, params_tuple, key_mask, dp_all, num_heads, wpt_req,
-                  weights_dtype, fmb, group_size):
+                  weights_dtype, fmb, group_size,
+                  precision=jax.lax.Precision.DEFAULT):
     """Forward through all blocks; returns (out, (x_t, inters, geometry))."""
     b, s_in, c = x.shape
     s = -(-s_in // 8) * 8
@@ -584,8 +585,7 @@ def _fts_impl_fwd(x, params_tuple, key_mask, dp_all, num_heads, wpt_req,
         n_grp = min(group_size, num_blocks - done)
         flags = tuple(done + i < fmb for i in range(n_grp))
         fwd_kernel, _ = _make_group_kernels(
-            n_grp, wpt, s, c, hidden, num_heads,
-            jax.lax.Precision.DEFAULT, flags)
+            n_grp, wpt, s, c, hidden, num_heads, precision, flags)
         grp_ops = ops[12 * done: 12 * (done + n_grp)]
         dp_slice = dp_rows[:, 2 * done: 2 * (done + n_grp), :]
         n_inter = n_grp - 1
@@ -614,7 +614,7 @@ def _fts_impl_fwd(x, params_tuple, key_mask, dp_all, num_heads, wpt_req,
 
 
 def _fts_impl_bwd(res, g, num_heads, fmb, group_size, params_tuple,
-                  weights_dtype):
+                  weights_dtype, precision=jax.lax.Precision.DEFAULT):
     inters, blkdiag, keyrow, padrow, dp_rows, ops, geometry = res
     b, s_in, s, wpt, n_tiles, r, c, hidden, num_blocks = geometry
 
@@ -642,8 +642,7 @@ def _fts_impl_bwd(res, g, num_heads, fmb, group_size, params_tuple,
         done, n_grp = group_bounds[gi]
         flags = tuple(done + i < fmb for i in range(n_grp))
         _, bwd_kernel = _make_group_kernels(
-            n_grp, wpt, s, c, hidden, num_heads,
-            jax.lax.Precision.DEFAULT, flags)
+            n_grp, wpt, s, c, hidden, num_heads, precision, flags)
         grp_ops = ops[12 * done: 12 * (done + n_grp)]
         dp_slice = dp_rows[:, 2 * done: 2 * (done + n_grp), :]
         group_input, intra = inters[gi]
@@ -718,10 +717,11 @@ def _fts_impl_bwd(res, g, num_heads, fmb, group_size, params_tuple,
     return dx, tuple(dparams), ddp
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def fused_temporal_stack_train(x, params_tuple, key_mask, dp_all,
                                num_heads, windows_per_tile, weights_dtype,
-                               first_masked_blocks, group_size=2):
+                               first_masked_blocks, group_size=2,
+                               precision=jax.lax.Precision.DEFAULT):
     """Training-mode temporal stack: all blocks through grouped Pallas
     kernels that stay tiled across blocks (fwd + hand-written bwd).
 
@@ -731,22 +731,22 @@ def fused_temporal_stack_train(x, params_tuple, key_mask, dp_all,
     """
     out, _ = _fts_impl_fwd(x, params_tuple, key_mask, dp_all, num_heads,
                            windows_per_tile, weights_dtype,
-                           first_masked_blocks, group_size)
+                           first_masked_blocks, group_size, precision)
     return out
 
 
 def _fts_fwd_rule(x, params_tuple, key_mask, dp_all, num_heads, wpt,
-                  weights_dtype, fmb, group_size):
+                  weights_dtype, fmb, group_size, precision):
     out, res = _fts_impl_fwd(x, params_tuple, key_mask, dp_all, num_heads,
-                             wpt, weights_dtype, fmb, group_size)
+                             wpt, weights_dtype, fmb, group_size, precision)
     return out, (res, params_tuple)
 
 
-def _fts_bwd_rule(num_heads, wpt, weights_dtype, fmb, group_size,
+def _fts_bwd_rule(num_heads, wpt, weights_dtype, fmb, group_size, precision,
                   residuals, g):
     res, params_tuple = residuals
     dx, dparams, ddp = _fts_impl_bwd(res, g, num_heads, fmb, group_size,
-                                     params_tuple, weights_dtype)
+                                     params_tuple, weights_dtype, precision)
     return dx, dparams, None, ddp
 
 

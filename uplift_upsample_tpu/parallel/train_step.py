@@ -123,6 +123,19 @@ def make_loss_fn(model, config: UpliftUpsampleConfig, dataset_name: str = "h36m"
                       and fused_spatial and model.temporal_depth > 0)
     tail = model.clone(spatial_input=True) if fused_spatial else None
     tail_t = (model.clone(temporal_input=True) if fused_temporal else None)
+    # Train matmul-precision rung for the fused kernels (fwd AND bwd dots).
+    # "mixed" preserves the shipped round-2 behavior (spatial HIGHEST,
+    # temporal DEFAULT); "high" = bf16x3 everywhere — above the reference's
+    # effective training precision (TF 2.4 on Ampere runs matmuls in TF32,
+    # 10-bit mantissa) at roughly half the HIGHEST dot cost.
+    from ..ops.pallas_spatial import HIGH3
+    _rung = getattr(config, "TRAIN_MATMUL_PRECISION", "mixed") or "mixed"
+    sp_train_prec, tm_train_prec = {
+        "mixed": (jax.lax.Precision.HIGHEST, jax.lax.Precision.DEFAULT),
+        "default": (jax.lax.Precision.DEFAULT, jax.lax.Precision.DEFAULT),
+        "high": (HIGH3, HIGH3),
+        "highest": (jax.lax.Precision.HIGHEST, jax.lax.Precision.HIGHEST),
+    }[_rung]
     if fused_spatial:
         def _rates(stage, depth):
             rate = config.DROP_PATH_RATE
@@ -165,7 +178,7 @@ def make_loss_fn(model, config: UpliftUpsampleConfig, dataset_name: str = "h36m"
                              for i in range(model.temporal_depth))
         y = fused_temporal_stack_train(
             y, params_tuple, inv_mask, dp_all, model.num_heads, 4,
-            jnp.float32, fmb, 2)
+            jnp.float32, fmb, 2, tm_train_prec)
         return tail_t.apply({"params": params}, y, stride_mask=stride_mask,
                             training=True, rngs=rngs)
 
@@ -183,7 +196,7 @@ def make_loss_fn(model, config: UpliftUpsampleConfig, dataset_name: str = "h36m"
             scales = make_droppath_scales(rngs["droppath"], dp_rates, frames + pad)
             stacked = stack_spatial_params(params, model.spatial_depth)
             y = fused_spatial_train(stacked, x_t, scales, model.spatial_depth,
-                                    model.num_heads)
+                                    model.num_heads, sp_train_prec)
             sp = y[:, :, :frames].transpose(2, 0, 1).reshape(
                 bb, nn_, pp * model.spatial_d_model)
             if fused_temporal:
