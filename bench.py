@@ -93,6 +93,7 @@ def bench_train(args):
         "TRAIN_FUSED_SPATIAL": args.train_fused,
         "TRAIN_FUSED_TEMPORAL": args.train_fused_temporal,
         "TRAIN_MATMUL_PRECISION": args.train_precision,
+        "TRAIN_TEMPORAL_WPT": args.train_wpt,
     })
     model = build_uplift_upsample_transformer(config)
     params = init_model_params(model, seed=0)["params"]
@@ -181,6 +182,9 @@ def main():
                         action="store_false",
                         help="with --train: disable the fused temporal "
                              "train blocks (ops/pallas_temporal_bwd.py)")
+    parser.add_argument("--train-wpt", type=int, default=4,
+                        help="with --train: TRAIN_TEMPORAL_WPT (windows per "
+                             "temporal train-kernel tile)")
     parser.add_argument("--train-precision", default="mixed",
                         choices=["mixed", "default", "high", "highest"],
                         help="with --train: TRAIN_MATMUL_PRECISION rung for "

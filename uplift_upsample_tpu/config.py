@@ -217,6 +217,12 @@ class UpliftUpsampleConfig(Config):
     # TF32 training precision at ~half the HIGHEST dot cost), "default"
     # (1-pass bf16), "highest" (full f32).
     TRAIN_MATMUL_PRECISION = "mixed"
+    # Windows per kernel tile for the fused temporal TRAIN blocks (R = wpt·72
+    # lanes). 4 balances per-grid-step overhead vs the R² cross-window
+    # attention waste at eval; the train kernels replay attention in the
+    # backward so the balance can differ — benchable via
+    # `bench.py --train --train-wpt N`.
+    TRAIN_TEMPORAL_WPT = 4
     # Matmul precision for eval ("default" | "high" | "highest"): TPU
     # "default" runs f32 dots as 1-pass bf16 (~0.8% relative output drift —
     # throughput mode); "high" = bf16x3 (~1e-5 relative, holds the 0.1 mm

@@ -77,13 +77,20 @@ def _block_ops(params: Dict, weights_dtype):
 _N_OPS = 16
 
 
-def _vmem_limit(precision):
-    """Scoped-VMEM cap for the train kernels. HIGH3's in-kernel hi/lo
-    temporaries push the backward ~2 MB past the 64 MB default (measured
-    65.76M at B=512/wpt=4); v5e has 128 MB physical VMEM, so grant 96 MB
-    on that rung."""
+def _vmem_limit(precision, r=288):
+    """Scoped-VMEM cap for the train kernels (v5e: 128 MB physical).
+
+    Measured needs: 65.76M at wpt=4 HIGH3 (hi/lo temporaries), 82.69M at
+    wpt=8 DEFAULT (R=576 doubles the stack activations) — both past the
+    64 MB default cap. Grant headroom by rung/tile-width, clamped to
+    112 MB so the program still fits."""
     from .pallas_temporal_v3 import HIGH3
-    return (96 if precision == HIGH3 else 64) * 1024 * 1024
+    mb = 64
+    if precision == HIGH3:
+        mb += 32
+    if r > 288:
+        mb += 32
+    return min(mb, 112) * 1024 * 1024
 
 
 def _make_block_kernels(wpt: int, s: int, c: int, hidden: int, num_heads: int,
@@ -281,7 +288,7 @@ def fused_temporal_block_fwd(x, params: Dict, key_mask, dp_scales, *,
                   tile3((1, 2, r))] + [full(op) for op in ops],
         out_specs=tile3((1, c, r)),
         out_shape=jax.ShapeDtypeStruct((n_tiles, c, r), jnp.float32),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit(precision)),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit(precision, r)),
     )(x_t, blkdiag, keyrow, dp_rows, *ops)
     return _from_tiles(out, b, s, c, s_in)
 
@@ -340,7 +347,7 @@ def fused_temporal_block_bwd(x, params: Dict, key_mask, dp_scales, g, *,
         + [full(op) for op in ops],
         out_specs=out_specs,
         out_shape=out_shapes,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit(precision)),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit(precision, r)),
     )(x_t, blkdiag, keyrow, dp_rows, g_t, *ops)
 
     dx = _from_tiles(outs[0], b, s, c, s_in)
@@ -610,7 +617,7 @@ def _fts_impl_fwd(x, params_tuple, key_mask, dp_all, num_heads, wpt_req,
             out_specs=[tile3((1, c, r))] * (n_inter + 1),
             out_shape=out_shapes,
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=_vmem_limit(precision)),
+                vmem_limit_bytes=_vmem_limit(precision, r)),
         )(out, blkdiag, keyrow, padrow, dp_slice, *grp_ops)
         group_input = out
         inters.append((group_input, list(outs[:n_inter])))
@@ -680,7 +687,7 @@ def _fts_impl_bwd(res, g, num_heads, fmb, group_size, params_tuple,
             out_specs=out_specs,
             out_shape=out_shapes,
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=_vmem_limit(precision)),
+                vmem_limit_bytes=_vmem_limit(precision, r)),
         )(group_input, blkdiag, keyrow, padrow, dp_slice, g_t,
           *intra, *grp_ops)
         g_t = outs[0]

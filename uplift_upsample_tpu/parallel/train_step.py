@@ -177,7 +177,8 @@ def make_loss_fn(model, config: UpliftUpsampleConfig, dataset_name: str = "h36m"
         params_tuple = tuple(params[f"temporal_block_{i + 1}"]
                              for i in range(model.temporal_depth))
         y = fused_temporal_stack_train(
-            y, params_tuple, inv_mask, dp_all, model.num_heads, 4,
+            y, params_tuple, inv_mask, dp_all, model.num_heads,
+            int(getattr(config, "TRAIN_TEMPORAL_WPT", 4) or 4),
             jnp.float32, fmb, 2, tm_train_prec)
         return tail_t.apply({"params": params}, y, stride_mask=stride_mask,
                             training=True, rngs=rngs)
