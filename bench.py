@@ -182,10 +182,10 @@ def main():
                         action="store_false",
                         help="with --train: disable the fused temporal "
                              "train blocks (ops/pallas_temporal_bwd.py)")
-    parser.add_argument("--train-wpt", type=int, default=4,
+    parser.add_argument("--train-wpt", type=int, default=8,
                         help="with --train: TRAIN_TEMPORAL_WPT (windows per "
                              "temporal train-kernel tile)")
-    parser.add_argument("--train-precision", default="mixed",
+    parser.add_argument("--train-precision", default="default",
                         choices=["mixed", "default", "high", "highest"],
                         help="with --train: TRAIN_MATMUL_PRECISION rung for "
                              "the fused train kernels (see config.py)")

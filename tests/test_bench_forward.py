@@ -48,10 +48,30 @@ def test_bench_forward_matches_model():
                                atol=5e-5, rtol=1e-4)
 
 
-def test_bench_forward_odd_batch():
+def test_bench_forward_odd_batch_traces():
     """B not divisible by temporal_wpt=4: the kernel halves windows_per_tile
     and the strided epilogue must follow (regression: PE-tiling shape
-    mismatch at trace time with B=2)."""
+    mismatch at TRACE time with B=2). Trace-only — the original crash was a
+    trace-time shape error, so eval_shape catches it in seconds; the numeric
+    check lives in the slow variant below."""
+    config = _flagship_small()
+    model = build_uplift_upsample_transformer(config)
+    variables = init_model_params(model, seed=3)
+
+    b, n = 2, config.SEQUENCE_LENGTH
+    sm = jnp.asarray((np.arange(n) % 5 == 0))[None].repeat(b, axis=0)
+    x = jnp.zeros((b, n, 17, 2), jnp.float32)
+    out = jax.eval_shape(
+        lambda v, a, m: bench_forward(
+            model, v, a, m, spatial_precision=jax.lax.Precision.HIGHEST,
+            temporal_precision=jax.lax.Precision.HIGHEST),
+        variables, x, sm)
+    assert out.shape == (b, 17, 3)
+
+
+@pytest.mark.slow
+def test_bench_forward_odd_batch():
+    """Numeric parity of the odd-batch (halved-wpt) fused path."""
     config = _flagship_small()
     model = build_uplift_upsample_transformer(config)
     variables = init_model_params(model, seed=3)

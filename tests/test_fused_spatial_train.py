@@ -96,6 +96,7 @@ def test_fused_train_step_with_droppath_smoke():
     assert all(np.isfinite(l) for l in losses)
 
 
+@pytest.mark.slow
 def test_pallas_bwd_kernel_vs_xla_vjp():
     """Direct check of the hand-written backward kernel, droppath active."""
     from uplift_upsample_tpu.ops.pallas_spatial import (_xla_spatial_stack,

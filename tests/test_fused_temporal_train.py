@@ -84,7 +84,7 @@ def test_fused_temporal_block_train_grads(masked):
 
 
 @pytest.mark.parametrize("fmb", [0, 1])
-def test_fused_temporal_stack_train_grads(fmb):
+def test_fused_temporal_stack_train_grads(fmb, wpt=4):
     """Multi-block grouped train kernels vs the chained jnp reference."""
     from uplift_upsample_tpu.ops.pallas_temporal_bwd import (
         fused_temporal_stack_train)
@@ -117,7 +117,7 @@ def test_fused_temporal_stack_train_grads(fmb):
 
     def fused_loss(params_tuple, x, dp_all):
         out = fused_temporal_stack_train(x, params_tuple, key_mask, dp_all,
-                                         heads, 4, jnp.float32, fmb, 2)
+                                         heads, wpt, jnp.float32, fmb, 2)
         return jnp.sum(out * cot)
 
     with pltpu.force_tpu_interpret_mode():
@@ -134,6 +134,7 @@ def test_fused_temporal_stack_train_grads(fmb):
                                    atol=3e-4, rtol=2e-3, err_msg=key)
 
 
+@pytest.mark.slow
 def test_fused_temporal_train_step_matches_flax():
     """Full loss grads with TRAIN_FUSED_SPATIAL+TEMPORAL vs the flax path
     (stochastic depth off for exactness)."""
@@ -164,3 +165,10 @@ def test_fused_temporal_train_step_matches_flax():
         key = "/".join(str(kk) for kk in kp)
         np.testing.assert_allclose(np.asarray(gf), np.asarray(flat_x[key]),
                                    atol=1e-4, rtol=2e-3, err_msg=key)
+
+
+@pytest.mark.slow
+def test_fused_temporal_stack_train_grads_wpt8():
+    """The shipped TRAIN_TEMPORAL_WPT=8 tiling (R=576): grads must match the
+    reference exactly like wpt=4 — the tiling is math-independent."""
+    test_fused_temporal_stack_train_grads(fmb=1, wpt=8)

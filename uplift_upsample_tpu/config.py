@@ -212,17 +212,20 @@ class UpliftUpsampleConfig(Config):
     # TRAIN_FUSED_SPATIAL's accelerator gating.
     TRAIN_FUSED_TEMPORAL = "auto"
     # Matmul precision for the fused TRAIN kernels (fwd+bwd dots):
-    # "mixed" (spatial HIGHEST / temporal DEFAULT — the round-2 shipped
-    # behavior), "high" (bf16x3 everywhere; above the reference's effective
-    # TF32 training precision at ~half the HIGHEST dot cost), "default"
-    # (1-pass bf16), "highest" (full f32).
-    TRAIN_MATMUL_PRECISION = "mixed"
+    # "default" (1-pass bf16 everywhere, f32 accumulate/optimizer — standard
+    # bf16 mixed-precision training; the temporal kernels have run this way
+    # since round 2, and the reference itself effectively trains at TF32 on
+    # Ampere-era TF 2.4), "mixed" (spatial HIGHEST / temporal DEFAULT — the
+    # round-2 behavior), "high" (bf16x3 everywhere; above the reference's
+    # TF32 fidelity at ~half the HIGHEST dot cost), "highest" (full f32).
+    # Measured at B=512/wpt=8: default 8,273 w/s, mixed ~6.9k, high ~5.2k.
+    TRAIN_MATMUL_PRECISION = "default"
     # Windows per kernel tile for the fused temporal TRAIN blocks (R = wpt·72
-    # lanes). 4 balances per-grid-step overhead vs the R² cross-window
-    # attention waste at eval; the train kernels replay attention in the
-    # backward so the balance can differ — benchable via
-    # `bench.py --train --train-wpt N`.
-    TRAIN_TEMPORAL_WPT = 4
+    # lanes). Math-independent tiling choice (grad parity holds at any wpt);
+    # 8 measured 16% faster than 4 at B=512 (the backward's in-kernel replay
+    # amortizes over fewer grid steps). Benchable via `bench.py --train
+    # --train-wpt N`.
+    TRAIN_TEMPORAL_WPT = 8
     # Matmul precision for eval ("default" | "high" | "highest"): TPU
     # "default" runs f32 dots as 1-pass bf16 (~0.8% relative output drift —
     # throughput mode); "high" = bf16x3 (~1e-5 relative, holds the 0.1 mm

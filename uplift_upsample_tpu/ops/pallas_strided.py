@@ -39,8 +39,9 @@ def stack_strided_block1_params(params: Dict, num_frames: int,
                                 num_heads: int = 8):
     """Kernel operands for the first strided block, transposed layout."""
     blk = params[name]
-    c = np.asarray(blk["attn"]["wq"]["kernel"]).shape[0]
-    hidden = np.asarray(blk["mlp"]["fc1"]["kernel"]).shape[1]
+    # shape access only — tracer-safe (params may be traced under jit)
+    c = blk["attn"]["wq"]["kernel"].shape[0]
+    hidden = blk["mlp"]["fc1"]["kernel"].shape[1]
 
     def col(a):
         return jnp.asarray(a, jnp.float32)[:, None]
