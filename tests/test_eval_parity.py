@@ -78,6 +78,38 @@ def test_eval_window_sparse_matches_dense():
                 err_msg=f"section {section}/{metric}")
 
 
+def test_eval_window_sparse_disable_learned_upsampling():
+    """The EVAL_DISABLE_LEARNED_UPSAMPLING branch (keyframe stride =
+    MASK_STRIDE instead of SEQUENCE_STRIDE) must also be window-sparse-safe:
+    A/B identical metrics with the skip on and off."""
+    if not os.path.exists(os.path.join(FIXTURE_DIR, "eval_parity.json")):
+        pytest.skip("run tools/make_eval_fixture.py")
+
+    config = UpliftUpsampleConfig(
+        config_file=os.path.join(FIXTURE_DIR, "eval_small_config.json"))
+    config.MASK_STRIDE = 10
+    config.EVAL_DISABLE_LEARNED_UPSAMPLING = True
+
+    results = {}
+    for sparse in (False, True):
+        config.EVAL_SKIP_INTERPOLATED_WINDOWS = sparse
+        results[sparse] = run_eval(
+            config=config, dataset_name="h36m",
+            dataset_path=os.path.join(SYNTH_DIR, "data_3d_h36m.npz"),
+            dataset2d_path=os.path.join(SYNTH_DIR, "data_2d_h36m_synth.npz"),
+            test_subset="test",
+            weights_path=os.path.join(FIXTURE_DIR, "small_strided.h5"),
+            action_wise=True, verbose=False)
+
+    for section in (0, 1):
+        dense_frame = results[False][section][0]
+        sparse_frame = results[True][section][0]
+        for metric, dense_value in dense_frame.items():
+            np.testing.assert_allclose(
+                sparse_frame[metric], dense_value, atol=1e-9, rtol=1e-9,
+                err_msg=f"disable-upsampling section {section}/{metric}")
+
+
 @pytest.mark.slow
 def test_eval_parity_fused_full():
     """The benchmark configuration (EVAL_FUSED=full) through the eval harness.
