@@ -265,13 +265,22 @@ def main():
     # see module docstring + eval.py); --per-window drops the factor.
     seq_stride = 5
     factor = 1 if args.per_window else seq_stride
-    frames_per_sec = windows_per_sec * factor
+    value = windows_per_sec * factor
+    # vs_baseline stays unit-consistent: frames/s vs the 50k frames/s target,
+    # or windows/s vs its windows-basis equivalent (50k / frames-per-window).
+    baseline = BASELINE_FRAMES_PER_SEC / (seq_stride if args.per_window else 1)
     print(json.dumps({
         "metric": ("computed_windows_per_sec_per_chip_n351" if args.per_window
                    else "uplifted_frames_per_sec_per_chip_n351"),
-        "value": round(frames_per_sec, 1),
+        "value": round(value, 1),
         "unit": "windows/s" if args.per_window else "frames/s",
-        "vs_baseline": round(frames_per_sec / BASELINE_FRAMES_PER_SEC, 3),
+        "vs_baseline": round(value / baseline, 3),
+        # raw per-window rate + protocol fan-out, so the 5x bookkeeping change
+        # vs rounds 1-2 (which reported windows/s under this metric name) is
+        # explicit in the recorded line
+        "windows_per_sec": round(windows_per_sec, 1),
+        "frames_per_window": seq_stride,
+        "precision_rung": args.precision,
     }))
     # Label the ACTUAL executed path: `fused` is the kernel pipeline mode
     # (full = Pallas spatial + merged temporal/strided kernels), `precision`

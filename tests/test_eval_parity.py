@@ -146,3 +146,30 @@ def test_eval_parity_fused_full():
             np.testing.assert_allclose(
                 frame_results[metric], ref_value, atol=5e-2, rtol=1e-4,
                 err_msg=f"fused-full {section}/{metric}")
+
+
+def test_sparse_rows_to_compute():
+    """Row selection for window-sparse eval: keyframes plus the
+    interpolation-untouched rows before a sequence's first keyframe,
+    with restart detection and cross-batch state carry."""
+    from uplift_upsample_tpu.eval import sparse_rows_to_compute
+
+    # Sequence starting OFF-keyframe: rows 0,1 precede the first keyframe
+    # (index 10) — interpolation keeps their raw predictions, so they must
+    # be computed; rows after a keyframe follow the normal % rule.
+    state = [None, False]
+    rows = sparse_rows_to_compute([3, 7, 10, 11, 15, 20], 5, state)
+    assert rows == [0, 1, 2, 4, 5]
+
+    # Restart (non-increasing index) resets the seen-keyframe flag even
+    # across a batch boundary via the carried state.
+    rows2 = sparse_rows_to_compute([21, 2, 4, 5, 9, 10], 5, state)
+    #          idx:                  21  2  4  5  9  10
+    # 21: not kf, seen_kf from prev batch -> skip; 2: restart, not kf,
+    # unseen -> compute; 4: compute; 5: kf; 9: skip; 10: kf
+    assert rows2 == [1, 2, 3, 5]
+
+    # Fully aligned stream: plain keyframe selection.
+    state3 = [None, False]
+    rows3 = sparse_rows_to_compute([0, 1, 2, 3, 4, 5], 5, state3)
+    assert rows3 == [0, 5]

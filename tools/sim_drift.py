@@ -145,6 +145,10 @@ def sim_forward(params, x2d, stride_mask, prec_map, cfg):
         x = x + z
 
     # ---- strided stack (block 1 = kernel epilogue; 2+ = XLA tail) ----------
+    # This simulator targets the flagship geometry: stride>1 blocks with
+    # padding (0,0) (k3 VALID conv + crop-both-ends residual). A stride-1
+    # block would need the padded-conv variant — assert rather than drift.
+    assert all(s > 1 for s in cfg["strides"]), cfg["strides"]
     for i, s in enumerate(cfg["strides"]):
         blk = params[f"strided_temporal_block_{i + 1}"]
         sq, sa, sp_, sm_ = (("st_qkv", "st_attn", "st_proj", "st_mlp") if i == 0

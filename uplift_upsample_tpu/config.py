@@ -212,14 +212,14 @@ class UpliftUpsampleConfig(Config):
     # TRAIN_FUSED_SPATIAL's accelerator gating.
     TRAIN_FUSED_TEMPORAL = "auto"
     # Matmul precision for the fused TRAIN kernels (fwd+bwd dots):
-    # "default" (1-pass bf16 everywhere, f32 accumulate/optimizer — standard
-    # bf16 mixed-precision training; the temporal kernels have run this way
-    # since round 2, and the reference itself effectively trains at TF32 on
-    # Ampere-era TF 2.4), "mixed" (spatial HIGHEST / temporal DEFAULT — the
-    # round-2 behavior), "high" (bf16x3 everywhere; above the reference's
-    # TF32 fidelity at ~half the HIGHEST dot cost), "highest" (full f32).
-    # Measured at B=512/wpt=8: default 8,273 w/s, mixed ~6.9k, high ~5.2k.
-    TRAIN_MATMUL_PRECISION = "default"
+    # "mixed" (spatial HIGHEST / temporal DEFAULT — the conservative shipped
+    # default, matching what round-2 training ran), "default" (1-pass bf16
+    # everywhere with f32 accumulate/optimizer — standard bf16 mixed-
+    # precision training and the measured-fastest: 8,273 w/s at B=512/wpt8
+    # vs ~6.9k mixed; convergence at this rung is unverified without real
+    # data, so it is opt-in), "high" (bf16x3 everywhere; above the
+    # reference's effective TF32 training fidelity), "highest" (full f32).
+    TRAIN_MATMUL_PRECISION = "mixed"
     # Windows per kernel tile for the fused temporal TRAIN blocks (R = wpt·72
     # lanes). Math-independent tiling choice (grad parity holds at any wpt);
     # 8 measured 16% faster than 4 at B=512 (the backward's in-kernel replay

@@ -151,6 +151,33 @@ def make_test_step(model, variables, flip_tta: bool, flip_lr_indices,
     return jax.jit(step)
 
 
+def sparse_rows_to_compute(frame_indices, kf_stride, state):
+    """Rows the window-sparse strided eval must run the model on.
+
+    Keyframe-centered rows (index % kf_stride == 0) — the only rows the
+    interpolation pass reads — PLUS any row before the first keyframe of its
+    sequence (restart = non-increasing index), which the interpolation pass
+    deliberately leaves untouched (utils/eval_protocol.py:89-93) and whose
+    raw prediction therefore reaches the metrics. `state` is a mutable
+    [prev_index, seen_keyframe] carried across batches; start with
+    [None, False].
+    """
+    rows = []
+    prev_f, seen_kf = state
+    for r, f in enumerate(frame_indices):
+        f = int(f)
+        if prev_f is not None and f <= prev_f:
+            seen_kf = False  # sequence restart
+        prev_f = f
+        if f % kf_stride == 0:
+            seen_kf = True
+            rows.append(r)
+        elif not seen_kf:
+            rows.append(r)
+    state[0], state[1] = prev_f, seen_kf
+    return rows
+
+
 def build_eval_generator(config: UpliftUpsampleConfig, dataset_path, dataset2d_path,
                          test_subset, verbose=True):
     selected_subjects = h36m_splits.subjects_by_split[test_subset]
@@ -267,6 +294,7 @@ def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d
     # shape); device predictions are scattered back by global example row.
     pend_x, pend_sm, pend_pos = [], [], []
     pred_parts = []  # (device_pred, positions, count)
+    sparse_state = [None, False]  # sparse_rows_to_compute carry
 
     def flush(force=False):
         bs = config.BATCH_SIZE
@@ -296,7 +324,18 @@ def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d
 
             include = min(config.BATCH_SIZE, num_examples - examples)
             if window_sparse:
-                rows = np.nonzero(indices[:include] % kf_stride == 0)[0]
+                # Host-side safety net for the keyframe-sparse spatial bound:
+                # a window with more real-input frames than max_kf would be
+                # silently mis-gathered in bench_forward (documented
+                # precondition) — catch protocol drift here instead.
+                if max_kf is not None:
+                    counts = np.asarray(stride_masks[:include]).sum(axis=1)
+                    assert counts.max(initial=0) <= max_kf, (
+                        f"stride mask has {int(counts.max())} keyframes, "
+                        f"bound {max_kf} — MASK_STRIDE/window derivation "
+                        f"out of sync with the generator")
+                rows = sparse_rows_to_compute(indices[:include], kf_stride,
+                                              sparse_state)
                 for r in rows:
                     pend_x.append(seq2d[r])
                     pend_sm.append(stride_masks[r])
