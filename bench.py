@@ -100,19 +100,37 @@ def bench_train(args):
     tx, _, _ = make_optimizer(config)
     state = TrainState(params=params, opt_state=tx.init(params),
                        ema_params=None, step=jnp.zeros([], jnp.int32))
-    loss_fn = make_loss_fn(model, config)
+    loss_fn = make_loss_fn(model, config, dataset_name=args.train_dataset)
 
     b, n, k = args.batch, 71, 17
     rng = np.random.default_rng(0)
-    batch = tuple(jnp.asarray(a) for a in (
-        rng.normal(size=(b, n, k, 3)).astype(np.float32) * 0.1,
-        rng.normal(size=(b, n, k, 2)).astype(np.float32) * 0.1,
-        np.ones((b, n), np.float32),
-        np.zeros((b, 11), np.float32),
-        np.zeros((b,), np.int32), np.zeros((b,), np.int32),
-        np.zeros((b,), np.int32),
-        (np.arange(n) % 5 == 0)[None].repeat(b, 0),
-    ))
+    if args.train_dataset == "amass":
+        # AMASS pretraining step: world-space 3D + an 18-vec camera
+        # (quat|trans|intrinsics); the world→cam transform + distorted 2D
+        # projection run inside the jitted step (ops/camera.py — the
+        # reference does this per-element in tf.data, train.py:171).
+        cam18 = np.zeros((b, 18), np.float32)
+        cam18[:, 0] = 1.0                      # identity quaternion
+        cam18[:, 9:11] = 2.3                   # fx, fy (normalized units)
+        cam18[:, 7:9] = 1000.0                 # res_w, res_h
+        world = rng.normal(size=(b, n, k, 3)).astype(np.float32) * 0.3
+        world[..., 2] += 4.0                   # in front of the camera
+        batch = tuple(jnp.asarray(a) for a in (
+            world, cam18, np.ones((b, n), np.float32),
+            np.zeros((b,), np.int32), np.zeros((b,), np.int32),
+            np.zeros((b,), np.int32),
+            (np.arange(n) % 5 == 0)[None].repeat(b, 0),
+        ))
+    else:
+        batch = tuple(jnp.asarray(a) for a in (
+            rng.normal(size=(b, n, k, 3)).astype(np.float32) * 0.1,
+            rng.normal(size=(b, n, k, 2)).astype(np.float32) * 0.1,
+            np.ones((b, n), np.float32),
+            np.zeros((b, 11), np.float32),
+            np.zeros((b,), np.int32), np.zeros((b,), np.int32),
+            np.zeros((b,), np.int32),
+            (np.arange(n) % 5 == 0)[None].repeat(b, 0),
+        ))
     base_key = jax.random.PRNGKey(0)
 
     @partial(jax.jit, static_argnums=2)
@@ -143,13 +161,15 @@ def bench_train(args):
     t_large = timed(args.iters)
     per_step = (t_large - t_small) / (args.iters - m_small)
     wps = args.batch / per_step
+    suffix = "" if args.train_dataset == "h36m" else f"_{args.train_dataset}"
     print(json.dumps({
-        "metric": "train_windows_per_sec_per_chip_n351",
+        "metric": f"train_windows_per_sec_per_chip_n351{suffix}",
         "value": round(wps, 1),
         "unit": "windows/s",
         "vs_baseline": round(wps / 5000.0, 3),
     }))
     print(f"# train device={jax.devices()[0].device_kind} batch={args.batch} "
+          f"dataset={args.train_dataset} "
           f"ms/step={per_step * 1e3:.1f} fused={args.train_fused} "
           f"fused_temporal={args.train_fused_temporal} "
           f"precision={args.train_precision}", file=sys.stderr)
@@ -157,7 +177,9 @@ def bench_train(args):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=2048)
+    parser.add_argument("--batch", type=int, default=None,
+                        help="batch size (default: 2048 eval / 512 train — "
+                             "the measured per-chip sweet spots)")
     parser.add_argument("--iters", type=int, default=30)
     parser.add_argument("--dtype", default="float32")
     parser.add_argument("--flip-tta", action="store_true")
@@ -182,6 +204,11 @@ def main():
                         action="store_false",
                         help="with --train: disable the fused temporal "
                              "train blocks (ops/pallas_temporal_bwd.py)")
+    parser.add_argument("--train-dataset", default="h36m",
+                        choices=["h36m", "amass"],
+                        help="with --train: h36m (pre-projected 2D) or amass "
+                             "(world-space 3D + in-step camera projection, "
+                             "the pretraining path)")
     parser.add_argument("--train-wpt", type=int, default=8,
                         help="with --train: TRAIN_TEMPORAL_WPT (windows per "
                              "temporal train-kernel tile)")
@@ -189,6 +216,11 @@ def main():
                         choices=["mixed", "default", "high", "highest"],
                         help="with --train: TRAIN_MATMUL_PRECISION rung for "
                              "the fused train kernels (see config.py)")
+    parser.add_argument("--mask-stride", type=int, default=5,
+                        help="protocol input stride s_in for the benched "
+                             "windows (5 = fully dense tokens, the flagship "
+                             "row; 10/20 = token-sparse windows exercising "
+                             "the keyframe-sparse spatial path)")
     parser.add_argument("--per-window", action="store_true",
                         help="report computed windows/sec as the metric "
                              "instead of protocol uplifted frames/sec "
@@ -196,6 +228,9 @@ def main():
     parser.set_defaults(fused_spatial=True, train_fused=True,
                         train_fused_temporal=True)
     args = parser.parse_args()
+
+    if args.batch is None:
+        args.batch = 512 if args.train else 2048
 
     if args.train:
         return bench_train(args)
@@ -209,14 +244,26 @@ def main():
     # numbers. `--precision default` benches the faster 1-pass-bf16 rung.
     from uplift_upsample_tpu.data.keypoint_order import H36MOrder17P
     from uplift_upsample_tpu.eval import make_test_step
-    # assume_dense_mask: the benched workload is the protocol's computed
-    # window (all 71 tokens real at s_in=5), so the first-block key-mask
-    # machinery is statically inert — same configuration eval.py resolves.
+    # Protocol token masks for the benched (keyframe-centered) windows at
+    # input stride s_in = --mask-stride: global alignment marks tokens whose
+    # global frame i + 5·(t-mid) ≡ 0 (mod s_in). At s_in=5 every token is
+    # real (assume_dense; the flagship row); at 10/20 the windows are
+    # token-sparse and the keyframe-sparse spatial path engages via
+    # max_keyframes — the same configuration eval.py resolves per run.
+    import math
+    n_frames, mid = 71, 71 // 2
+    s_in = args.mask_stride
+    period = s_in // math.gcd(5, s_in)
+    t_off = 5 * (np.arange(n_frames) - mid)
+    sm_np = np.stack([((5 * r + t_off) % s_in) == 0
+                      for r in range(args.batch)])
+    max_kf = (-(-n_frames // period)) if period > 1 else None
     test_step = make_test_step(
         model, variables, flip_tta=args.flip_tta,
         flip_lr_indices=H36MOrder17P.flip_lr_indices(),
         fused="full" if args.fused_spatial else "none",
-        precision=args.precision, assume_dense_mask=True)
+        precision=args.precision, max_keyframes=max_kf,
+        assume_dense_mask=period == 1)
 
     def forward(variables, x, sm):
         del variables  # bound inside test_step
@@ -233,7 +280,7 @@ def main():
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(args.batch, 71, 17, 2)).astype(np.float32) * 0.3)
-    sm = jnp.asarray(np.ones((args.batch, 71), dtype=bool))
+    sm = jnp.asarray(sm_np)
 
     @partial(jax.jit, static_argnums=3)
     def loop(variables, x, sm, m):
@@ -281,6 +328,7 @@ def main():
         "windows_per_sec": round(windows_per_sec, 1),
         "frames_per_window": seq_stride,
         "precision_rung": args.precision,
+        "s_in": args.mask_stride,
     }))
     # Label the ACTUAL executed path: `fused` is the kernel pipeline mode
     # (full = Pallas spatial + merged temporal/strided kernels), `precision`
@@ -289,7 +337,7 @@ def main():
     print(f"# device={jax.devices()[0].device_kind} batch={args.batch} "
           f"iters={args.iters} dtype={args.dtype} flip_tta={args.flip_tta} "
           f"fused={'full' if args.fused_spatial else 'none'} "
-          f"precision={args.precision} "
+          f"precision={args.precision} s_in={args.mask_stride} "
           f"windows_per_s={windows_per_sec:.1f} "
           f"frames_per_window={factor} elapsed={elapsed:.3f}s",
           file=sys.stderr)
