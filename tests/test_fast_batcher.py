@@ -133,3 +133,26 @@ def test_native_gather_matches_numpy():
     expected[sel] = fl
     np.testing.assert_array_equal(out, expected)
     assert native.native_available(), "native library should be built for tests"
+
+
+def test_bench_mask_matches_generator_protocol():
+    """bench.py's protocol mask construction for keyframe-centered windows
+    must equal the generator's aligned stride_mask_for — the bench rows'
+    s_in semantics hang on this equality."""
+    from uplift_upsample_tpu.data.generator import SequenceWindower
+
+    n = 71
+    mid = n // 2
+    t_off = 5 * (np.arange(n) - mid)
+    for s_in in (5, 10, 20):
+        w = SequenceWindower(seq_len=n, stride=5, mask_stride=[s_in],
+                             stride_mask_align_global=True,
+                             flip_augment=False, shuffle=False,
+                             verbose=False)
+        for r in range(8):
+            center = 5 * r  # keyframe-centered windows only
+            stride, ams = w.resolve_strides(50)
+            ref = w.stride_mask_for(center, stride, ams)
+            bench = ((center + t_off) % s_in) == 0
+            np.testing.assert_array_equal(bench, ref,
+                                          err_msg=f"s_in={s_in} center={center}")

@@ -136,12 +136,20 @@ def run_variant(name, model, variables, x, sm):
             temporal_attn_precision=attn_prec)))
 
     if name.startswith("rung_"):
-        # The actual shared eval/bench path at a precision rung
+        # The actual shared eval/bench path at a precision rung; suffix
+        # "_kf" adds the keyframe-sparse spatial gather (max_keyframes=15
+        # matches the fixture's %5 mask — the s_in>stride eval path).
         from uplift_upsample_tpu.eval import make_test_step
         from uplift_upsample_tpu.data.keypoint_order import H36MOrder17P
+        rung = name.split("_", 1)[1]
+        max_kf = None
+        if rung.endswith("_kf"):
+            rung = rung[:-3]
+            max_kf = 15
         step = make_test_step(model, variables, flip_tta=False,
                               flip_lr_indices=H36MOrder17P.flip_lr_indices(),
-                              fused="full", precision=name.split("_", 1)[1])
+                              fused="full", precision=rung,
+                              max_keyframes=max_kf)
         # make_test_step masks internally; undo the pre-masking double-apply
         _, central = step(x, sm)
         return np.asarray(jax.device_get(central))
@@ -154,6 +162,7 @@ def run_variant(name, model, variables, x, sm):
 # breaks Mosaic lowering or leaks precision shows up here as a bound failure.
 ASSERT_BOUNDS = {
     "rung_high": 0.5,      # parity rung; measured 0.172 mean
+    "rung_high_kf": 0.5,   # + keyframe-sparse spatial gather (s_in>stride)
     "rung_default": 120.0,  # throughput rung; measured ~55 — sanity only
     "fused_high3": 50.0,    # spatial kernel HIGH3 + XLA tail; measured ~38
 }
