@@ -158,3 +158,66 @@ def test_fused_train_grads_high3_rung():
         scale = max(1e-3, float(np.max(np.abs(np.asarray(gx)))))
         np.testing.assert_allclose(np.asarray(gh), np.asarray(gx),
                                    atol=2e-4 * scale, rtol=0, err_msg=key)
+
+
+def test_keyframe_sparse_train_grads_match_dense():
+    """TRAIN_KEYFRAME_SPARSE gathers only real-input frames through the
+    spatial kernels — masked frames' spatial compute has zero gradient, so
+    sparse and dense paths must produce identical losses and gradients on a
+    mixed-mask-stride batch."""
+    config = _config(TRAIN_FUSED_SPATIAL=True, BATCH_SIZE=16,
+                     TRAIN_KEYFRAME_SPARSE=False)
+    # Mixed strides per sample (like the real generator's per-sample draw):
+    # n=9 → counts 5 (stride 2 pattern) and 3 (stride 4), total 64 < 128.
+    n = config.SEQUENCE_LENGTH
+    masks = np.zeros((16, n), bool)
+    masks[0::2, 0::2] = True
+    masks[1::2, 0::4] = True
+    batch = list(_batch(config))
+    batch[-1] = masks
+    batch = tuple(jnp.asarray(a) for a in batch)
+    rngs = {name: jax.random.PRNGKey(i) for i, name in
+            enumerate(("dropout", "droppath", "token_mask"))}
+
+    from uplift_upsample_tpu.parallel.train_step import make_loss_fn
+    model = build_uplift_upsample_transformer(config)
+    params = init_model_params(model, seed=0)["params"]
+
+    outs = {}
+    for sparse in (False, True):
+        config.TRAIN_KEYFRAME_SPARSE = sparse
+        config.TRAIN_KEYFRAME_BUDGET = 128 if sparse else 0
+        loss_fn = make_loss_fn(model, config)
+        with pltpu.force_tpu_interpret_mode():
+            outs[sparse] = jax.value_and_grad(loss_fn)(params, batch, rngs)
+
+    loss_d, grads_d = outs[False]
+    loss_s, grads_s = outs[True]
+    assert np.isclose(float(loss_s), float(loss_d), atol=1e-5), \
+        (float(loss_s), float(loss_d))
+    flat_d = {"/".join(str(k) for k in kp): v for kp, v in
+              jax.tree_util.tree_flatten_with_path(grads_d)[0]}
+    for kp, gs in jax.tree_util.tree_flatten_with_path(grads_s)[0]:
+        key = "/".join(str(k) for k in kp)
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(flat_d[key]),
+                                   atol=5e-5, rtol=1e-3, err_msg=key)
+
+
+def test_keyframe_sparse_overflow_poisons_loss():
+    """A batch with more keyframes than the budget must NaN the loss (the
+    loud-failure contract) instead of silently dropping keyframes."""
+    config = _config(TRAIN_FUSED_SPATIAL=True, BATCH_SIZE=16,
+                     TRAIN_KEYFRAME_SPARSE=True, TRAIN_KEYFRAME_BUDGET=128)
+    batch = list(_batch(config))
+    batch[-1] = np.ones((16, config.SEQUENCE_LENGTH), bool)  # 144 > 128
+    batch = tuple(jnp.asarray(a) for a in batch)
+    rngs = {name: jax.random.PRNGKey(i) for i, name in
+            enumerate(("dropout", "droppath", "token_mask"))}
+
+    from uplift_upsample_tpu.parallel.train_step import make_loss_fn
+    model = build_uplift_upsample_transformer(config)
+    params = init_model_params(model, seed=0)["params"]
+    loss_fn = make_loss_fn(model, config)
+    with pltpu.force_tpu_interpret_mode():
+        loss = loss_fn(params, batch, rngs)
+    assert not np.isfinite(float(loss))

@@ -220,6 +220,16 @@ class UpliftUpsampleConfig(Config):
     # data, so it is opt-in), "high" (bf16x3 everywhere; above the
     # reference's effective TF32 training fidelity), "highest" (full f32).
     TRAIN_MATMUL_PRECISION = "mixed"
+    # Keyframe-sparse spatial training: gather only real-input frames
+    # through the spatial fwd+bwd kernels (masked frames' spatial compute
+    # has zero gradient — their features are token-substituted). Exact;
+    # static per-batch budget = mean + 8σ of the mask-stride mix (overflow
+    # ~1e-11/step, poisons the loss with NaN rather than silently dropping
+    # a keyframe). False = dense spatial training.
+    TRAIN_KEYFRAME_SPARSE = True
+    # Explicit frame budget override (0 = derive from MASK_STRIDE mix);
+    # rounded up to a 128 multiple.
+    TRAIN_KEYFRAME_BUDGET = 0
     # Windows per kernel tile for the fused temporal TRAIN blocks (R = wpt·72
     # lanes). Math-independent tiling choice (grad parity holds at any wpt);
     # 8 measured 16% faster than 4 at B=512 (the backward's in-kernel replay

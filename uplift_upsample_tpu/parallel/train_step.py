@@ -183,6 +183,40 @@ def make_loss_fn(model, config: UpliftUpsampleConfig, dataset_name: str = "h36m"
         return tail_t.apply({"params": params}, y, stride_mask=stride_mask,
                             training=True, rngs=rngs)
 
+    # Keyframe-sparse spatial training: the model replaces every masked
+    # frame's s2t feature with the learned token (uplift_upsample.py:177), so
+    # masked frames' spatial compute contributes ZERO gradient — only the
+    # ~59% of frames carrying real input (mask strides {5,10,20} → densities
+    # {1, 1/2, 1/4}) need the spatial fwd+bwd. The per-batch keyframe count
+    # is data-dependent, so frames are gathered into a STATIC budget =
+    # mean + 8σ of the config's mask-stride mix (overflow odds ~1e-11/step;
+    # an overflow poisons the loss with NaN so it can never pass silently).
+    # Multichip note: the gather spans the global batch, so under a dp mesh
+    # GSPMD may insert cross-device collectives — shard-local budgets
+    # (shard_map) are the refinement if that shows up in profiles; small
+    # per-chip batches fall back to dense anyway (budget ≥ frames).
+    kf_budget = None
+    if (fused_spatial and model.has_strided_input
+            and bool(getattr(config, "TRAIN_KEYFRAME_SPARSE", True))):
+        ms = config.MASK_STRIDE
+        ms_list = ms if isinstance(ms, (list, tuple)) else [ms]
+        if ms_list and all(isinstance(m, int) and m >= 1 for m in ms_list):
+            import math as _math
+            counts = [-(-model.num_frames
+                        // (m // _math.gcd(config.SEQUENCE_STRIDE, m)))
+                      for m in ms_list]
+            mean = sum(counts) / len(counts)
+            var = sum((cnt - mean) ** 2 for cnt in counts) / len(counts)
+            frames_total = b * model.num_frames
+            want = (mean * b + 8.0 * _math.sqrt(var * b)
+                    + model.num_frames)
+            budget_cfg = int(getattr(config, "TRAIN_KEYFRAME_BUDGET", 0) or 0)
+            if budget_cfg:
+                want = budget_cfg
+            budget = int(min(frames_total, -(-want // 128) * 128))
+            if budget < frames_total:
+                kf_budget = budget
+
     def apply_model(params, x, stride_mask, rngs):
         if fused_spatial:
             from ..ops.pallas_spatial import (fused_spatial_train,
@@ -190,16 +224,42 @@ def make_loss_fn(model, config: UpliftUpsampleConfig, dataset_name: str = "h36m"
                                               stack_spatial_params)
             bb, nn_, pp, cc = x.shape
             frames = bb * nn_
-            x_t = x.reshape(frames, pp, cc).transpose(1, 2, 0)
-            pad = (-frames) % 128
-            if pad:
-                x_t = jnp.pad(x_t, ((0, 0), (0, 0), (0, pad)))
-            scales = make_droppath_scales(rngs["droppath"], dp_rates, frames + pad)
             stacked = stack_spatial_params(params, model.spatial_depth)
-            y = fused_spatial_train(stacked, x_t, scales, model.spatial_depth,
-                                    model.num_heads, sp_train_prec)
-            sp = y[:, :, :frames].transpose(2, 0, 1).reshape(
-                bb, nn_, pp * model.spatial_d_model)
+            if kf_budget is not None:
+                flat_sm = stride_mask.reshape(frames).astype(bool)
+                ids = jnp.arange(frames, dtype=jnp.int32)
+                # keyframes first (ascending), then non-keyframes: the first
+                # kf_budget rows hold every keyframe unless overflow
+                order = jnp.argsort(jnp.where(flat_sm, ids, frames + ids)
+                                    )[:kf_budget]
+                xg = x.reshape(frames, pp, cc)[order]
+                x_t = xg.transpose(1, 2, 0)  # (P, 2, budget); budget % 128 == 0
+                scales = make_droppath_scales(rngs["droppath"], dp_rates,
+                                              frames)[:, order]
+                y = fused_spatial_train(stacked, x_t, scales,
+                                        model.spatial_depth, model.num_heads,
+                                        sp_train_prec)
+                inv = (jnp.cumsum(flat_sm.astype(jnp.int32)) - 1).clip(0)
+                sp = y.transpose(2, 0, 1).reshape(
+                    kf_budget, pp * model.spatial_d_model)[inv]
+                sp = sp.reshape(bb, nn_, pp * model.spatial_d_model)
+                # Overflow guard: a dropped keyframe would silently read a
+                # wrong row — poison the loss instead (NaN trips the train
+                # loop's guards loudly).
+                overflow = jnp.sum(flat_sm) > kf_budget
+                sp = jnp.where(overflow, jnp.float32(jnp.nan), sp)
+            else:
+                x_t = x.reshape(frames, pp, cc).transpose(1, 2, 0)
+                pad = (-frames) % 128
+                if pad:
+                    x_t = jnp.pad(x_t, ((0, 0), (0, 0), (0, pad)))
+                scales = make_droppath_scales(rngs["droppath"], dp_rates,
+                                              frames + pad)
+                y = fused_spatial_train(stacked, x_t, scales,
+                                        model.spatial_depth, model.num_heads,
+                                        sp_train_prec)
+                sp = y[:, :, :frames].transpose(2, 0, 1).reshape(
+                    bb, nn_, pp * model.spatial_d_model)
             if fused_temporal:
                 return _temporal_train(params, sp, stride_mask, rngs)
             if model.has_strided_input:
