@@ -220,6 +220,11 @@ class UpliftUpsampleConfig(Config):
     # data, so it is opt-in), "high" (bf16x3 everywhere; above the
     # reference's effective TF32 training fidelity), "highest" (full f32).
     TRAIN_MATMUL_PRECISION = "mixed"
+    # Fused Pallas fwd+bwd for strided block 1 in training (head1 inline,
+    # blocks 2+ and head2 stay flax); "auto" = on TPU when the geometry
+    # allows (padding (0,0), full_output, no output BN). Gradient parity
+    # pinned by tests/test_fused_strided_train.py.
+    TRAIN_FUSED_STRIDED = "auto"
     # Keyframe-sparse spatial training: gather only real-input frames
     # through the spatial fwd+bwd kernels (masked frames' spatial compute
     # has zero gradient — their features are token-substituted). Exact;

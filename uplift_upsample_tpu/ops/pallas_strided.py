@@ -36,8 +36,15 @@ def stack_strided_block1_params(params: Dict, num_frames: int,
                                 weights_dtype=jnp.bfloat16,
                                 name: str = "strided_temporal_block_1",
                                 pe_name: str = "strided_temporal_pe_1",
-                                num_heads: int = 8):
-    """Kernel operands for the first strided block, transposed layout."""
+                                num_heads: int = 8,
+                                fold_q_scale: bool = True):
+    """Kernel operands for the first strided block, transposed layout.
+
+    fold_q_scale folds the attention 1/sqrt(d) into the q projection (the
+    eval kernels/epilogues do not rescale q). The TRAIN kernel keeps the
+    scale explicit so weight grads are grads of the true parameters — it
+    passes False.
+    """
     blk = params[name]
     # shape access only — tracer-safe (params may be traced under jit)
     c = blk["attn"]["wq"]["kernel"].shape[0]
@@ -51,9 +58,8 @@ def stack_strided_block1_params(params: Dict, num_frames: int,
         return (jnp.zeros((n, 1), jnp.float32) if b is None
                 else jnp.asarray(b, jnp.float32)[:, None])
 
-    # Attention 1/sqrt(d) folded into the q projection (kernel/epilogue
-    # do not rescale q).
-    q_scale = jnp.float32(1.0 / np.sqrt(c // num_heads))
+    q_scale = (jnp.float32(1.0 / np.sqrt(c // num_heads)) if fold_q_scale
+               else jnp.float32(1.0))
     wqkv = jnp.concatenate(
         [jnp.asarray(blk["attn"]["wq"]["kernel"], jnp.float32).T * q_scale,
          jnp.asarray(blk["attn"]["wk"]["kernel"], jnp.float32).T,

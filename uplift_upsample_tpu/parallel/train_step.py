@@ -121,8 +121,23 @@ def make_loss_fn(model, config: UpliftUpsampleConfig, dataset_name: str = "h36m"
         tft = is_tpu_backend()
     fused_temporal = (bool(tft)
                       and fused_spatial and model.temporal_depth > 0)
+    # Strided block 1 through its own Pallas fwd+bwd pair
+    # (ops/pallas_strided_bwd.py); head1 computed inline from the temporal
+    # output, blocks 2+ and head2 stay in the flax tail. The first strided
+    # block's drop-path rate is structurally 0 (top·i/(depth-1) at i=0), so
+    # the kernel needs no stochastic-depth machinery.
+    tfs2 = getattr(config, "TRAIN_FUSED_STRIDED", "auto")
+    if tfs2 == "auto":
+        tfs2 = is_tpu_backend()
+    fused_strided = (bool(tfs2) and fused_temporal
+                     and len(model.strides) > 0
+                     and model.paddings is not None
+                     and tuple(model.paddings[0]) == (0, 0)
+                     and model.full_output and not model.output_bn)
     tail = model.clone(spatial_input=True) if fused_spatial else None
     tail_t = (model.clone(temporal_input=True) if fused_temporal else None)
+    tail_st = (model.clone(temporal_input=True, strided_entry=1)
+               if fused_strided else None)
     # Train matmul-precision rung for the fused kernels (fwd AND bwd dots).
     # "mixed" preserves the shipped round-2 behavior (spatial HIGHEST,
     # temporal DEFAULT); "high" = bf16x3 everywhere — above the reference's
@@ -180,6 +195,24 @@ def make_loss_fn(model, config: UpliftUpsampleConfig, dataset_name: str = "h36m"
             y, params_tuple, inv_mask, dp_all, model.num_heads,
             int(getattr(config, "TRAIN_TEMPORAL_WPT", 4) or 4),
             jnp.float32, fmb, 2, tm_train_prec)
+        if fused_strided:
+            from ..ops.pallas_strided_bwd import fused_strided_block1_train
+            fc_t = params["temporal_fc"]
+            full = (y @ fc_t["kernel"] + fc_t["bias"]).reshape(
+                y.shape[0], y.shape[1], config.NUM_KEYPOINTS, 3)
+            pre = fused_strided_block1_train(
+                y, (params["strided_temporal_block_1"],
+                    params["strided_temporal_pe_1"]),
+                model.num_heads,
+                int(getattr(config, "TRAIN_TEMPORAL_WPT", 4) or 4),
+                model.num_frames, tm_train_prec)
+            s0 = model.strides[0]
+            n_out = (model.num_frames - 3) // s0 + 1
+            y2 = pre[:, : (n_out - 1) * s0 + 1: s0]
+            _, central = tail_st.apply({"params": params}, y2,
+                                       stride_mask=stride_mask,
+                                       training=True, rngs=rngs)
+            return full, central
         return tail_t.apply({"params": params}, y, stride_mask=stride_mask,
                             training=True, rngs=rngs)
 
