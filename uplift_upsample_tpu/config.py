@@ -221,10 +221,13 @@ class UpliftUpsampleConfig(Config):
     # reference's effective TF32 training fidelity), "highest" (full f32).
     TRAIN_MATMUL_PRECISION = "mixed"
     # Fused Pallas fwd+bwd for strided block 1 in training (head1 inline,
-    # blocks 2+ and head2 stay flax); "auto" = on TPU when the geometry
-    # allows (padding (0,0), full_output, no output BN). Gradient parity
-    # pinned by tests/test_fused_strided_train.py.
-    TRAIN_FUSED_STRIDED = "auto"
+    # blocks 2+ and head2 stay flax). Gradient-parity-exact
+    # (tests/test_fused_strided_train.py) but measured ~1 ms/step SLOWER
+    # than XLA autodiff at B=512 (9,295 vs 9,462 w/s — the kernel's
+    # backward replays the forward while XLA caches activations, and the
+    # block is small enough that the saved transposes don't pay for it).
+    # Kept off; "auto"/True enables on TPU when the geometry allows.
+    TRAIN_FUSED_STRIDED = False
     # Keyframe-sparse spatial training: gather only real-input frames
     # through the spatial fwd+bwd kernels (masked frames' spatial compute
     # has zero gradient — their features are token-substituted). Exact;
