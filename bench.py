@@ -221,12 +221,17 @@ def main():
                              "windows (5 = fully dense tokens, the flagship "
                              "row; 10/20 = token-sparse windows exercising "
                              "the keyframe-sparse spatial path)")
+    parser.add_argument("--no-shared-spatial", dest="shared_spatial",
+                        action="store_false",
+                        help="disable the cross-window shared spatial stage "
+                             "(eval.py's default window-sparse mode: spatial "
+                             "features computed once per unique frame)")
     parser.add_argument("--per-window", action="store_true",
                         help="report computed windows/sec as the metric "
                              "instead of protocol uplifted frames/sec "
                              "(= windows/sec x SEQUENCE_STRIDE)")
-    parser.set_defaults(fused_spatial=True, train_fused=True,
-                        train_fused_temporal=True)
+    parser.set_defaults(fused_spatial=True, shared_spatial=True,
+                        train_fused=True, train_fused_temporal=True)
     args = parser.parse_args()
 
     if args.batch is None:
@@ -258,17 +263,14 @@ def main():
     sm_np = np.stack([((5 * r + t_off) % s_in) == 0
                       for r in range(args.batch)])
     max_kf = (-(-n_frames // period)) if period > 1 else None
+    use_shared = args.shared_spatial and args.fused_spatial
     test_step = make_test_step(
         model, variables, flip_tta=args.flip_tta,
         flip_lr_indices=H36MOrder17P.flip_lr_indices(),
         fused="full" if args.fused_spatial else "none",
-        precision=args.precision, max_keyframes=max_kf,
-        assume_dense_mask=period == 1)
-
-    def forward(variables, x, sm):
-        del variables  # bound inside test_step
-        _, central = test_step(x, sm)
-        return central
+        precision=args.precision,
+        max_keyframes=None if use_shared else max_kf,
+        assume_dense_mask=period == 1, shared_spatial=use_shared)
 
     # Measurement notes for this environment: the PJRT relay makes
     # block_until_ready a no-op and adds ~5ms RPC per dispatch plus a large
@@ -279,8 +281,44 @@ def main():
     from functools import partial
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=(args.batch, 71, 17, 2)).astype(np.float32) * 0.3)
     sm = jnp.asarray(sm_np)
+    host_dedup_s, n_unique = 0.0, 0
+    if use_shared:
+        # Realistic window-sparse stream (eval.py's shared-spatial mode,
+        # the production eval path): B consecutive keyframe-centered windows
+        # of one sequence — window r token t sits at global frame
+        # 5·(r + t - mid), so windows overlap in 70 of 71 frames and the
+        # host np.unique dedup (timed below, identical to eval's flush)
+        # yields ~B + 70 unique frames (+1 zero row at s_in > 5, which
+        # absorbs every masked token).
+        stream = rng.normal(
+            size=(args.batch + n_frames - 1, 17, 2)).astype(np.float32) * 0.3
+        win_idx_full = np.arange(args.batch)[:, None] + np.arange(n_frames)
+        xm_np = stream[win_idx_full] * sm_np[:, :, None, None]
+        from uplift_upsample_tpu.utils.dedup import dedup_rows
+        t0 = time.perf_counter()
+        uniq, inv = dedup_rows(xm_np.reshape(args.batch * n_frames, -1))
+        host_dedup_s = time.perf_counter() - t0
+        n_unique = len(uniq)
+        u_max = -(-min(args.batch * n_frames, args.batch + 1024) // 8) * 8
+        assert n_unique <= u_max, (n_unique, u_max)
+        uq_np = np.zeros((u_max, 17, 2), np.float32)
+        uq_np[:n_unique] = uniq.reshape(-1, 17, 2)
+        x = jnp.asarray(uq_np)
+        idx = jnp.asarray(inv.reshape(args.batch, n_frames).astype(np.int32))
+
+        def forward(variables, x, sm):
+            del variables  # bound inside test_step
+            _, central = test_step(x, idx, sm)
+            return central
+    else:
+        x = jnp.asarray(
+            rng.normal(size=(args.batch, 71, 17, 2)).astype(np.float32) * 0.3)
+
+        def forward(variables, x, sm):
+            del variables  # bound inside test_step
+            _, central = test_step(x, sm)
+            return central
 
     @partial(jax.jit, static_argnums=3)
     def loop(variables, x, sm, m):
@@ -329,17 +367,27 @@ def main():
         "frames_per_window": seq_stride,
         "precision_rung": args.precision,
         "s_in": args.mask_stride,
+        "shared_spatial": use_shared,
     }))
     # Label the ACTUAL executed path: `fused` is the kernel pipeline mode
     # (full = Pallas spatial + merged temporal/strided kernels), `precision`
     # the matmul rung (PERF_NOTES.md). args.pallas only toggles the
     # per-layer USE_PALLAS_ATTENTION flag, which the fused path supersedes.
+    shared_note = ""
+    if use_shared:
+        # Host dedup (np.unique per batch, same as eval's flush) must keep
+        # up with the device rate for the shared number to be end-to-end
+        # honest; both rates are printed for comparison.
+        host_wps = args.batch / max(host_dedup_s, 1e-9)
+        shared_note = (f" shared_spatial=True unique_frames={n_unique} "
+                       f"host_dedup_ms={host_dedup_s * 1e3:.1f} "
+                       f"host_dedup_windows_per_s={host_wps:.0f}")
     print(f"# device={jax.devices()[0].device_kind} batch={args.batch} "
           f"iters={args.iters} dtype={args.dtype} flip_tta={args.flip_tta} "
           f"fused={'full' if args.fused_spatial else 'none'} "
           f"precision={args.precision} s_in={args.mask_stride} "
           f"windows_per_s={windows_per_sec:.1f} "
-          f"frames_per_window={factor} elapsed={elapsed:.3f}s",
+          f"frames_per_window={factor} elapsed={elapsed:.3f}s{shared_note}",
           file=sys.stderr)
 
 

@@ -149,6 +149,87 @@ def test_bench_forward_keyframe_sparse_matches_dense():
                                atol=2e-5, rtol=0)
 
 
+def test_shared_spatial_forward_matches_dense():
+    """shared_spatial_forward (per-unique-frame spatial features + gather)
+    must be exact vs the dense fused path — the spatial stage and the s2t
+    Dense are frame-independent. Emulates the window-sparse eval stream:
+    consecutive overlapping windows, host np.unique dedup, with a
+    token-sparse variant where all masked (zeroed) frames collapse into a
+    single unique row."""
+    from uplift_upsample_tpu.models.bench_forward import shared_spatial_forward
+
+    config = _flagship_small()
+    model = build_uplift_upsample_transformer(config)
+    variables = init_model_params(model, seed=17)
+
+    rng = np.random.default_rng(17)
+    b, n = 4, config.SEQUENCE_LENGTH
+    stream = rng.normal(size=(b + n - 1, 17, 2)).astype(np.float32) * 0.3
+    win_idx_np = np.arange(b)[:, None] + np.arange(n)[None, :]
+
+    for dense_tokens in (True, False):
+        if dense_tokens:
+            sm_np = np.ones((b, n), bool)
+        else:  # token-sparse windows (the s_in>stride protocol rungs)
+            sm_np = np.zeros((b, n), bool)
+            sm_np[:, ::2] = True
+        xm_np = stream[win_idx_np] * sm_np[:, :, None, None]
+        uniq, inv = np.unique(xm_np.reshape(b * n, -1), axis=0,
+                              return_inverse=True)
+        u_max = 48
+        assert len(uniq) <= u_max
+        if not dense_tokens:
+            # all masked frames share the single all-zeros unique row (the
+            # even-t mask hits every stream frame in some window, so the
+            # real-frame uniques stay b+n-1; +1 for the zero row)
+            assert len(uniq) <= b + n
+        uq = np.zeros((u_max, 17, 2), np.float32)
+        uq[:len(uniq)] = uniq.reshape(-1, 17, 2)
+        idx = inv.reshape(b, n).astype(np.int32)
+
+        sm = jnp.asarray(sm_np)
+        with pltpu.force_tpu_interpret_mode():
+            dense = bench_forward(
+                model, variables, jnp.asarray(xm_np), sm,
+                spatial_precision=jax.lax.Precision.HIGHEST,
+                temporal_precision=jax.lax.Precision.HIGHEST,
+                assume_dense_mask=dense_tokens)
+            shared = shared_spatial_forward(
+                model, variables, jnp.asarray(uq), jnp.asarray(idx), sm,
+                spatial_precision=jax.lax.Precision.HIGHEST,
+                temporal_precision=jax.lax.Precision.HIGHEST,
+                assume_dense_mask=dense_tokens)
+        np.testing.assert_allclose(np.asarray(shared), np.asarray(dense),
+                                   atol=2e-5, rtol=0,
+                                   err_msg=f"dense_tokens={dense_tokens}")
+
+
+def test_s2t_splice_flags():
+    """model(s2t_output=True) ∘ gather ∘ model(s2t_input=True) == full model
+    (the XLA shared-spatial path). Frame count N=1 through the prefix must
+    be accepted (frame-independent stage)."""
+    config = _flagship_small()
+    model = build_uplift_upsample_transformer(config)
+    variables = init_model_params(model, seed=19)
+
+    rng = np.random.default_rng(19)
+    b, n = 3, config.SEQUENCE_LENGTH
+    stream = rng.normal(size=(b + n - 1, 17, 2)).astype(np.float32) * 0.3
+    win_idx_np = np.arange(b)[:, None] + np.arange(n)[None, :]
+    xm_np = stream[win_idx_np]
+    sm = jnp.asarray(np.ones((b, n), bool))
+
+    _, ref = model.apply(variables, jnp.asarray(xm_np), stride_mask=sm,
+                         training=False)
+    feats = model.clone(s2t_output=True)
+    tail = model.clone(s2t_input=True)
+    y_u = feats.apply(variables, jnp.asarray(stream)[:, None], training=False)
+    y = jnp.take(y_u[:, 0], jnp.asarray(win_idx_np), axis=0)
+    _, central = tail.apply(variables, y, stride_mask=sm, training=False)
+    np.testing.assert_allclose(np.asarray(central), np.asarray(ref),
+                               atol=2e-5, rtol=0)
+
+
 def test_temporal_input_splice_alone():
     """model(temporal_input=True) must equal the tail of the full model."""
     config = _flagship_small()

@@ -148,6 +148,104 @@ def test_eval_parity_fused_full():
                 err_msg=f"fused-full {section}/{metric}")
 
 
+def test_eval_shared_spatial_matches_dense():
+    """EVAL_SHARED_SPATIAL (per-frame spatial features computed once per
+    unique masked frame, gathered into windows) must not change any reported
+    metric — the spatial stage is frame-independent. A/B on the XLA path
+    (CPU), flip-TTA on (fixture config), window-sparse protocol active."""
+    if not os.path.exists(os.path.join(FIXTURE_DIR, "eval_parity.json")):
+        pytest.skip("run tools/make_eval_fixture.py")
+
+    config = UpliftUpsampleConfig(
+        config_file=os.path.join(FIXTURE_DIR, "eval_small_config.json"))
+    config.MASK_STRIDE = 5
+
+    results = {}
+    for shared in (False, True):
+        config.EVAL_SHARED_SPATIAL = shared
+        results[shared] = run_eval(
+            config=config, dataset_name="h36m",
+            dataset_path=os.path.join(SYNTH_DIR, "data_3d_h36m.npz"),
+            dataset2d_path=os.path.join(SYNTH_DIR, "data_2d_h36m_synth.npz"),
+            test_subset="test",
+            weights_path=os.path.join(FIXTURE_DIR, "small_strided.h5"),
+            action_wise=True, verbose=False)
+
+    for section in (0, 1):  # all_frames, keyframes
+        dense_frame = results[False][section][0]
+        shared_frame = results[True][section][0]
+        for metric, dense_value in dense_frame.items():
+            np.testing.assert_allclose(
+                shared_frame[metric], dense_value, atol=1e-9, rtol=1e-9,
+                err_msg=f"shared-spatial section {section}/{metric}")
+
+
+def test_eval_shared_spatial_capacity_fallback():
+    """Batches whose unique-frame count exceeds the static step capacity
+    must fall back to the dense step with identical metrics (the capacity
+    is a throughput knob, never a correctness one)."""
+    if not os.path.exists(os.path.join(FIXTURE_DIR, "eval_parity.json")):
+        pytest.skip("run tools/make_eval_fixture.py")
+
+    config = UpliftUpsampleConfig(
+        config_file=os.path.join(FIXTURE_DIR, "eval_small_config.json"))
+    config.MASK_STRIDE = 5
+    config.EVAL_SHARED_SPATIAL = True
+
+    results = {}
+    for extra in (1024, -10_000):  # normal capacity vs force-fallback
+        config.EVAL_SHARED_UMAX_EXTRA = extra
+        results[extra] = run_eval(
+            config=config, dataset_name="h36m",
+            dataset_path=os.path.join(SYNTH_DIR, "data_3d_h36m.npz"),
+            dataset2d_path=os.path.join(SYNTH_DIR, "data_2d_h36m_synth.npz"),
+            test_subset="test",
+            weights_path=os.path.join(FIXTURE_DIR, "small_strided.h5"),
+            action_wise=True, verbose=False)
+
+    for section in (0, 1):
+        a, b = results[1024][section][0], results[-10_000][section][0]
+        for metric, value in a.items():
+            np.testing.assert_allclose(
+                b[metric], value, atol=1e-9, rtol=1e-9,
+                err_msg=f"capacity-fallback section {section}/{metric}")
+
+
+@pytest.mark.slow
+def test_eval_parity_fused_full_shared():
+    """The full bench configuration (EVAL_FUSED=full + shared spatial stage,
+    interpret mode) must still reproduce the reference fixture metrics."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    ref_path = os.path.join(FIXTURE_DIR, "eval_parity.json")
+    if not os.path.exists(ref_path):
+        pytest.skip("run tools/make_eval_fixture.py")
+    with open(ref_path) as f:
+        ref = json.load(f)["5"]
+
+    config = UpliftUpsampleConfig(
+        config_file=os.path.join(FIXTURE_DIR, "eval_small_config.json"))
+    config.MASK_STRIDE = 5
+    config.EVAL_FUSED = "full"
+    config.EVAL_SHARED_SPATIAL = True
+
+    with pltpu.force_tpu_interpret_mode():
+        all_frames, keyframes = run_eval(
+            config=config, dataset_name="h36m",
+            dataset_path=os.path.join(SYNTH_DIR, "data_3d_h36m.npz"),
+            dataset2d_path=os.path.join(SYNTH_DIR, "data_2d_h36m_synth.npz"),
+            test_subset="test",
+            weights_path=os.path.join(FIXTURE_DIR, "small_strided.h5"),
+            action_wise=True, verbose=False)
+
+    for section, mine in (("all_frames", all_frames), ("keyframes", keyframes)):
+        frame_results = mine[0]
+        for metric, ref_value in ref[section]["frame"].items():
+            np.testing.assert_allclose(
+                frame_results[metric], ref_value, atol=5e-2, rtol=1e-4,
+                err_msg=f"fused-full-shared {section}/{metric}")
+
+
 def test_sparse_rows_to_compute():
     """Row selection for window-sparse eval: keyframes plus the
     interpolation-untouched rows before a sequence's first keyframe,

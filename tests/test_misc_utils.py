@@ -82,3 +82,30 @@ def test_ema_update_semantics():
     expected = 0.1 * leaf_old + 0.9 * leaf_new
     np.testing.assert_allclose(np.asarray(leaf_ema), np.asarray(expected),
                                atol=1e-7)
+
+
+def test_dedup_rows_exact():
+    """Hash dedup must be exact vs np.unique(axis=0): same group structure,
+    bytewise-reconstructible, masked-zero rows collapsed, and robust to
+    duplicate-heavy and all-identical inputs."""
+    import numpy as np
+    from uplift_upsample_tpu.utils.dedup import dedup_rows
+
+    rng = np.random.default_rng(0)
+    # overlapping-window structure (69/71 duplicates per row)
+    stream = rng.normal(size=(96, 34)).astype(np.float32)
+    flat = stream[(np.arange(64)[:, None] + np.arange(27)) % 96].reshape(-1, 34)
+    uniq, inv = dedup_rows(flat)
+    assert (uniq[inv] == flat).all()
+    assert len(uniq) == len(np.unique(flat, axis=0))
+
+    # zeroed (masked) rows collapse into one
+    flat2 = flat.copy()
+    flat2[::3] = 0.0
+    u2, i2 = dedup_rows(flat2)
+    assert (u2[i2] == flat2).all()
+    assert len(u2) == len(np.unique(flat2, axis=0))
+
+    # degenerate: all rows identical
+    u3, i3 = dedup_rows(np.ones((50, 16), np.float32))
+    assert len(u3) == 1 and (i3 == 0).all()

@@ -259,5 +259,19 @@ class UpliftUpsampleConfig(Config):
     # eval.py:209-222) so metrics are identical while ~1/stride of the
     # windows are computed. False = reference-style dense evaluation.
     EVAL_SKIP_INTERPOLATED_WINDOWS = True
+    # Cross-window shared spatial stage for the window-sparse eval:
+    # consecutive computed windows overlap in N-1 of their N frames (centers
+    # and tokens both advance by SEQUENCE_STRIDE), and the spatial stage +
+    # s2t Dense are frame-independent — so per-frame features are computed once
+    # per unique masked frame (host dedup) and gathered into windows.
+    # Bit-identical per frame (tests/test_bench_forward.py). "auto" enables
+    # it whenever the window-sparse protocol is active and the fused eval
+    # path runs; True forces it (incl. the XLA path); False disables.
+    EVAL_SHARED_SPATIAL = "auto"
+    # Static unique-frame capacity of the shared-spatial step, as extra rows
+    # over the batch size (a contiguous run of B windows has B + N - 1
+    # uniques; each extra sequence restart inside a batch adds ≤ N - 1).
+    # Batches exceeding the capacity fall back to the dense step.
+    EVAL_SHARED_UMAX_EXTRA = 1024
     # Data-parallel devices to use (-1: all visible devices).
     DATA_PARALLEL_DEVICES = -1

@@ -42,7 +42,8 @@ def make_test_step(model, variables, flip_tta: bool, flip_lr_indices,
                    fused_spatial: bool = False, strict_precision: bool = False,
                    fused: str = None, precision: str = None,
                    max_keyframes: int = None,
-                   assume_dense_mask: bool = False):
+                   assume_dense_mask: bool = False,
+                   shared_spatial: bool = False):
     """Jitted forward step with optional fused flip-TTA.
 
     `fused` selects the eval compute path — THE one configuration shared by
@@ -63,6 +64,14 @@ def make_test_step(model, variables, flip_tta: bool, flip_lr_indices,
 
     Returns fn(keypoints2d (B,N,K,2) unmasked, stride_mask (B,N) bool)
     → (pred_sequence (B,N,K,3) | None, pred_central (B,K,3)).
+
+    `shared_spatial`: cross-window shared spatial stage (window-sparse
+    protocol; see models/bench_forward.shared_spatial_forward). The step
+    signature becomes fn(unique2d (U,K,2) MASKED deduped frames,
+    win_idx (B,N) int32, stride_mask (B,N)) — the caller masks frames on
+    host and dedups them (all-masked frames collapse to the zero row).
+    Supported for fused="full" and fused="none"; flip-TTA flips the unique
+    frames (flip is per-frame, so the dedup structure is preserved).
     """
     flip_idx = jnp.asarray(np.asarray(flip_lr_indices, dtype=np.int32))
     if fused is None:
@@ -76,9 +85,15 @@ def make_test_step(model, variables, flip_tta: bool, flip_lr_indices,
         # fused kernels' HIGHEST lowering is not supported by Mosaic).
         fused = "none"
 
+    if shared_spatial:
+        assert (model.spatial_depth > 0
+                and (fused == "none"
+                     or (fused == "full" and model.temporal_depth > 0))), \
+            "shared_spatial needs the fused-full or XLA path + a spatial stack"
+
     if (fused == "full" and model.spatial_depth > 0
             and model.temporal_depth > 0):
-        from .models.bench_forward import bench_forward
+        from .models.bench_forward import bench_forward, shared_spatial_forward
         from .ops.pallas_spatial import HIGH3
         from .ops.pallas_temporal import stack_temporal_params
         # Precision ladder (measured in tools/check_tpu_parity.py, documented
@@ -92,16 +107,25 @@ def make_test_step(model, variables, flip_tta: bool, flip_lr_indices,
                    "highest": jax.lax.Precision.HIGHEST}[precision]
         stacked = stack_temporal_params(variables["params"], model.temporal_depth)
 
-        def forward(keypoints2d, stride_mask):
-            x = keypoints2d
-            if model.has_strided_input:
-                x = x * stride_mask[:, :, None, None].astype(x.dtype)
-            central = bench_forward(
-                model, variables, x, stride_mask, spatial_precision=sp_prec,
-                temporal_precision=tm_prec, stacked_temporal=stacked,
-                max_keyframes=max_keyframes,
-                assume_dense_mask=assume_dense_mask)
-            return None, central
+        if shared_spatial:
+            def forward(unique2d, win_idx, stride_mask):
+                central = shared_spatial_forward(
+                    model, variables, unique2d, win_idx, stride_mask,
+                    spatial_precision=sp_prec, temporal_precision=tm_prec,
+                    stacked_temporal=stacked,
+                    assume_dense_mask=assume_dense_mask)
+                return None, central
+        else:
+            def forward(keypoints2d, stride_mask):
+                x = keypoints2d
+                if model.has_strided_input:
+                    x = x * stride_mask[:, :, None, None].astype(x.dtype)
+                central = bench_forward(
+                    model, variables, x, stride_mask, spatial_precision=sp_prec,
+                    temporal_precision=tm_prec, stacked_temporal=stacked,
+                    max_keyframes=max_keyframes,
+                    assume_dense_mask=assume_dense_mask)
+                return None, central
     elif fused in ("full", "spatial") and model.spatial_depth > 0:
         from .ops.pallas_spatial import HIGH3, spatial_stack_apply
         tail = model.clone(spatial_input=True)
@@ -119,6 +143,18 @@ def make_test_step(model, variables, flip_tta: bool, flip_lr_indices,
             if model.has_strided_input:
                 return tail.apply(variables, sp, stride_mask=stride_mask, training=False)
             return tail.apply(variables, sp, training=False)
+    elif shared_spatial:
+        # Pure-XLA shared path via the model's s2t splice flags (used on CPU
+        # and for the strictest precision rung).
+        feats_model = model.clone(s2t_output=True)
+        tail_model = model.clone(s2t_input=True)
+
+        def forward(unique2d, win_idx, stride_mask):
+            y_u = feats_model.apply(variables, unique2d[:, None],
+                                    training=False)           # (U, 1, C)
+            y = jnp.take(y_u[:, 0], win_idx, axis=0)          # (B, N, C)
+            return tail_model.apply(variables, y, stride_mask=stride_mask,
+                                    training=False)
     else:
         def forward(keypoints2d, stride_mask):
             x = keypoints2d
@@ -127,18 +163,15 @@ def make_test_step(model, variables, flip_tta: bool, flip_lr_indices,
                 return model.apply(variables, x, stride_mask=stride_mask, training=False)
             return model.apply(variables, x, training=False)
 
-    def step(keypoints2d, stride_mask):
-        # Bind the XLA remainder (s2t dense, late strided blocks, heads) to
-        # the same precision rung as the fused kernels
-        with jax.default_matmul_precision(precision):
-            return _step_inner(keypoints2d, stride_mask)
+    def _flip_in(frames):
+        """x-negate + L/R joint swap; frames is (..., K, 2)."""
+        flipped = jnp.concatenate([-frames[..., :1], frames[..., 1:]], axis=-1)
+        return jnp.take(flipped, flip_idx, axis=-2)
 
     def _step_inner(keypoints2d, stride_mask):
         pred_seq, pred_central = forward(keypoints2d, stride_mask)
         if flip_tta:
-            flipped_in = jnp.concatenate(
-                [-keypoints2d[..., :1], keypoints2d[..., 1:]], axis=-1)[:, :, flip_idx]
-            f_seq, f_central = forward(flipped_in, stride_mask)
+            f_seq, f_central = forward(_flip_in(keypoints2d), stride_mask)
             f_central = jnp.concatenate(
                 [-f_central[..., :1], f_central[..., 1:]], axis=-1)[:, flip_idx]
             pred_central = (pred_central + f_central) / 2.0
@@ -147,6 +180,32 @@ def make_test_step(model, variables, flip_tta: bool, flip_lr_indices,
                     [-f_seq[..., :1], f_seq[..., 1:]], axis=-1)[:, :, flip_idx]
                 pred_seq = (pred_seq + f_seq) / 2.0
         return pred_seq, pred_central
+
+    def _step_inner_shared(unique2d, win_idx, stride_mask):
+        pred_seq, pred_central = forward(unique2d, win_idx, stride_mask)
+        if flip_tta:
+            # flip is per-frame, so flipping the UNIQUE frames with the same
+            # gather indices is exactly the dense flip pass
+            f_seq, f_central = forward(_flip_in(unique2d), win_idx, stride_mask)
+            f_central = jnp.concatenate(
+                [-f_central[..., :1], f_central[..., 1:]], axis=-1)[:, flip_idx]
+            pred_central = (pred_central + f_central) / 2.0
+            if pred_seq is not None:
+                f_seq = jnp.concatenate(
+                    [-f_seq[..., :1], f_seq[..., 1:]], axis=-1)[:, :, flip_idx]
+                pred_seq = (pred_seq + f_seq) / 2.0
+        return pred_seq, pred_central
+
+    if shared_spatial:
+        def step(unique2d, win_idx, stride_mask):
+            with jax.default_matmul_precision(precision):
+                return _step_inner_shared(unique2d, win_idx, stride_mask)
+    else:
+        def step(keypoints2d, stride_mask):
+            # Bind the XLA remainder (s2t dense, late strided blocks, heads)
+            # to the same precision rung as the fused kernels
+            with jax.default_matmul_precision(precision):
+                return _step_inner(keypoints2d, stride_mask)
 
     return jax.jit(step)
 
@@ -270,12 +329,39 @@ def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d
     # in both kf_stride branches), so the first-block key-mask machinery is
     # statically inert — skip it.
     assume_dense = bool(window_sparse and period == 1)
+    eval_precision = getattr(config, "EVAL_MATMUL_PRECISION", "high") or "high"
     test_step = make_test_step(
         model, variables, flip_tta=config.EVAL_FLIP,
         flip_lr_indices=config.AUGM_FLIP_KEYPOINT_ORDER,
-        fused=fused_mode,
-        precision=getattr(config, "EVAL_MATMUL_PRECISION", "high") or "high",
+        fused=fused_mode, precision=eval_precision,
         max_keyframes=max_kf, assume_dense_mask=assume_dense)
+
+    # Cross-window shared spatial stage (see EVAL_SHARED_SPATIAL in config.py
+    # and models/bench_forward.shared_spatial_forward): in window-sparse mode
+    # consecutive computed windows overlap in N-1 frames and the spatial
+    # stage is frame-independent, so per-frame features are computed once per
+    # unique masked frame. Host-side content dedup (utils/dedup.py, exact
+    # hash+verify) also collapses all masked frames (zeroed content) into one
+    # row — this subsumes the keyframe-sparse gather for token-sparse windows.
+    shared_cfg = getattr(config, "EVAL_SHARED_SPATIAL", "auto")
+    if shared_cfg == "auto":
+        shared = bool(window_sparse and fused_mode == "full"
+                      and model.spatial_depth > 0 and model.temporal_depth > 0)
+    else:
+        shared = bool(shared_cfg and window_sparse
+                      and fused_mode in ("full", "none")
+                      and model.spatial_depth > 0)
+    shared_step, u_max = None, 0
+    if shared:
+        shared_step = make_test_step(
+            model, variables, flip_tta=config.EVAL_FLIP,
+            flip_lr_indices=config.AUGM_FLIP_KEYPOINT_ORDER,
+            fused=fused_mode, precision=eval_precision,
+            assume_dense_mask=assume_dense, shared_spatial=True)
+        u_extra = int(getattr(config, "EVAL_SHARED_UMAX_EXTRA", 1024))
+        u_max = min(config.BATCH_SIZE * config.SEQUENCE_LENGTH,
+                    max(config.BATCH_SIZE + u_extra, config.SEQUENCE_LENGTH))
+        u_max = -(-u_max // 8) * 8
 
     log(f"Running evaluation on '{test_subset}' with {num_examples} examples")
     start = time.time()
@@ -284,7 +370,9 @@ def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d
 
     if window_sparse:
         log(f"Window-sparse strided eval: computing only every "
-            f"{kf_stride}-th window (others are interpolation-only)")
+            f"{kf_stride}-th window (others are interpolation-only)"
+            + (f"; shared spatial stage (capacity {u_max} unique frames)"
+               if shared else ""))
 
     gt_central = []
     gt_subjects, gt_actions, gt_indices = [], [], []
@@ -296,6 +384,8 @@ def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d
     pred_parts = []  # (device_pred, positions, count)
     sparse_state = [None, False]  # sparse_rows_to_compute carry
 
+    shared_fallbacks = [0]
+
     def flush(force=False):
         bs = config.BATCH_SIZE
         while len(pend_pos) >= bs or (force and pend_pos):
@@ -306,7 +396,24 @@ def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d
                 rep = (0, bs - take)
                 xb = np.pad(xb, (rep, (0, 0), (0, 0), (0, 0)), mode="edge")
                 smb = np.pad(smb, (rep, (0, 0)), mode="edge")
-            _, pred = test_step(jnp.asarray(xb), jnp.asarray(smb))
+            pred = None
+            if shared_step is not None:
+                from .utils.dedup import dedup_rows
+                n_seq = xb.shape[1]
+                xm = xb * smb[:, :, None, None].astype(xb.dtype)
+                uniq, inv = dedup_rows(xm.reshape(bs * n_seq, -1))
+                if len(uniq) <= u_max:
+                    uq = np.zeros((u_max,) + xm.shape[2:], xm.dtype)
+                    uq[:len(uniq)] = uniq.reshape((-1,) + xm.shape[2:])
+                    idx = inv.reshape(bs, n_seq).astype(np.int32)
+                    _, pred = shared_step(jnp.asarray(uq), jnp.asarray(idx),
+                                          jnp.asarray(smb))
+                else:
+                    # more unique frames than the static step capacity (many
+                    # sequence restarts in one batch) — dense step fallback
+                    shared_fallbacks[0] += 1
+            if pred is None:
+                _, pred = test_step(jnp.asarray(xb), jnp.asarray(smb))
             pred_parts.append((pred, np.asarray(pend_pos[:take]), take))
             del pend_x[:take], pend_sm[:take], pend_pos[:take]
             if not force:
@@ -356,6 +463,9 @@ def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d
             examples += include
         if window_sparse:
             flush(force=True)
+    if shared_fallbacks[0]:
+        log(f"Shared-spatial: {shared_fallbacks[0]} batch(es) exceeded the "
+            f"{u_max}-unique-frame capacity and used the dense step")
 
     gt_central = np.stack(gt_central, axis=0).astype(np.float64)
     gt_central = np.concatenate(

@@ -193,6 +193,24 @@ def bench_forward(model: UpliftUpsampleTransformer, variables, x2d_masked,
                                  precision=spatial_precision)  # (B, N, P·C)
         y = sp @ fc["kernel"] + fc["bias"]
 
+    return _post_s2t(model, variables, y, stride_mask,
+                     temporal_precision=temporal_precision,
+                     stacked_temporal=stacked_temporal, fmb=fmb,
+                     temporal_impl=temporal_impl, temporal_attn=temporal_attn,
+                     temporal_attn_precision=temporal_attn_precision,
+                     eff_wpt=eff_wpt, fuse_strided=fuse_strided,
+                     assume_dense_mask=assume_dense_mask)
+
+
+def _post_s2t(model, variables, y, stride_mask, *, temporal_precision,
+              stacked_temporal, fmb, temporal_impl, temporal_attn,
+              temporal_attn_precision, eff_wpt, fuse_strided,
+              assume_dense_mask):
+    """Masked-token substitution + temporal PE + fused temporal stack + tail.
+
+    y: (B, N, temporal_d) spatial_to_temporal output (pre-substitution).
+    """
+    params = variables["params"]
     inv_mask = None
     if model.has_strided_input:
         sm = stride_mask.astype(y.dtype)[..., None]
@@ -249,3 +267,60 @@ def bench_forward(model: UpliftUpsampleTransformer, variables, x2d_masked,
     _, central = tail.apply(variables, y, stride_mask=stride_mask,
                             training=False)
     return central
+
+
+def shared_spatial_forward(model: UpliftUpsampleTransformer, variables,
+                           unique2d, win_idx, stride_mask, *,
+                           spatial_precision, temporal_precision,
+                           stacked_temporal=None, temporal_impl: str = "v3",
+                           temporal_wpt: int = 4, temporal_attn: str = "full",
+                           temporal_attn_precision=None,
+                           assume_dense_mask: bool = False):
+    """Fused eval forward with a cross-window SHARED spatial stage.
+
+    In the window-sparse strided eval protocol, consecutive computed windows
+    (centers `stride` frames apart, tokens `stride` frames apart) overlap in
+    all but one of their N frames — and the spatial stage plus the
+    spatial→temporal Dense are frame-independent (reference
+    uplift_upsample_transformer.py:313-333: per-frame joint attention), so a
+    frame's features are identical in every window containing it. This path
+    computes features ONCE per unique masked frame (U ≈ B + N per contiguous
+    sequence run instead of B·N) and gathers them into windows; the temporal
+    and strided stages are the exact dense-path code.
+
+    unique2d: (U, 17, 2) deduplicated ALREADY-MASKED frames. The host
+      multiplies frames by the stride mask before dedup, so all masked
+      frames collapse into the single all-zeros row (whose feature value is
+      discarded by the masked-token substitution anyway).
+    win_idx: (B, N) int32 — each window token's row in unique2d. Padding
+      rows of unique2d (beyond the real unique count) must never be indexed.
+    stride_mask: (B, N) — 1/True on real-input frames (still drives the
+      masked-token substitution and first-block attention masking).
+    """
+    params = variables["params"]
+    if stacked_temporal is None:
+        stacked_temporal = stack_temporal_params(params, model.temporal_depth)
+    fmb = (model.first_strided_token_attention_layer
+           if model.has_strided_input else 0)
+    fuse_strided = (len(model.strides) > 0 and model.temporal_depth > 0
+                    and model.paddings is not None
+                    and tuple(model.paddings[0]) == (0, 0)
+                    and temporal_impl == "v3")
+    eff_wpt = temporal_wpt
+    while win_idx.shape[0] % eff_wpt != 0 and eff_wpt > 1:
+        eff_wpt //= 2
+
+    sp = spatial_stack_apply(params, unique2d[:, None],
+                             num_blocks=model.spatial_depth,
+                             num_heads=model.num_heads,
+                             precision=spatial_precision)      # (U, 1, P·C)
+    fc = params["spatial_to_temporal_fc"]
+    y_u = sp[:, 0] @ fc["kernel"] + fc["bias"]                 # (U, C)
+    y = jnp.take(y_u, win_idx, axis=0)                         # (B, N, C)
+    return _post_s2t(model, variables, y, stride_mask,
+                     temporal_precision=temporal_precision,
+                     stacked_temporal=stacked_temporal, fmb=fmb,
+                     temporal_impl=temporal_impl, temporal_attn=temporal_attn,
+                     temporal_attn_precision=temporal_attn_precision,
+                     eff_wpt=eff_wpt, fuse_strided=fuse_strided,
+                     assume_dense_mask=assume_dense_mask)

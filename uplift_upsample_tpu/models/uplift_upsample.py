@@ -90,6 +90,16 @@ class UpliftUpsampleTransformer(nn.Module):
     # strided block strided_entry+1 and head1 is skipped (its input, the
     # temporal-stack output, is not available at this splice point).
     strided_entry: int = 0
+    # When True, __call__ returns the (B, N, temporal_d) spatial_to_temporal
+    # output (before token masking / masked-frame substitution / temporal PE)
+    # instead of the heads. This is the per-frame (frame-independent) prefix
+    # of the model — reference uplift_upsample_transformer.py:313-333 — used
+    # by the shared-spatial eval path to compute features once per unique
+    # frame. N may differ from num_frames here.
+    s2t_output: bool = False
+    # When True, __call__ takes that (B, N, temporal_d) tensor and runs the
+    # rest (mask substitution, temporal PE, temporal stack, heads).
+    s2t_input: bool = False
 
     def _dpr(self, stage: int, depth: int):
         rate = self.drop_path_rate
@@ -106,11 +116,12 @@ class UpliftUpsampleTransformer(nn.Module):
         """
         deterministic = not training
         p = self.num_keypoints
-        if self.spatial_input or self.temporal_input:
+        if self.spatial_input or self.temporal_input or self.s2t_input:
             b, n, _ = x.shape
         else:
             b, n = x.shape[:2]
-            assert n == self.num_frames and x.shape[2] == p
+            # The pre-s2t prefix is frame-independent; any N is valid there.
+            assert x.shape[2] == p and (n == self.num_frames or self.s2t_output)
         x = x.astype(self.dtype)
         out_dim = 3 * self.num_keypoints
         if self.temporal_input:
@@ -119,8 +130,8 @@ class UpliftUpsampleTransformer(nn.Module):
 
         # ---- spatial transformer over joints (frame-independent) ----------
         sdtype = self.dtype if self.spatial_dtype is None else self.spatial_dtype
-        if self.spatial_input:
-            pass  # x is already the (B, N, P·C) spatial-stack output
+        if self.s2t_input or self.spatial_input:
+            pass  # x is already the (B, N, P·C) spatial-stack (or s2t) output
         elif self.spatial_depth == 0:
             x = x.reshape(b, n, p * x.shape[-1])
         else:
@@ -146,8 +157,11 @@ class UpliftUpsampleTransformer(nn.Module):
                 x.astype(self.dtype))
             x = x.reshape(b, n, p * self.spatial_d_model)
 
-        x = nn.Dense(self.temporal_d_model, kernel_init=KERNEL_INIT,
-                     dtype=self.dtype, name="spatial_to_temporal_fc")(x)
+        if not self.s2t_input:
+            x = nn.Dense(self.temporal_d_model, kernel_init=KERNEL_INIT,
+                         dtype=self.dtype, name="spatial_to_temporal_fc")(x)
+        if self.s2t_output:
+            return x
 
         # ---- temporal transformer over frames -----------------------------
         if training and self.token_mask_rate > 0:
