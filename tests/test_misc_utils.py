@@ -109,3 +109,20 @@ def test_dedup_rows_exact():
     # degenerate: all rows identical
     u3, i3 = dedup_rows(np.ones((50, 16), np.float32))
     assert len(u3) == 1 and (i3 == 0).all()
+
+    # masked rows built as x * 0.0 carry -0.0 wherever x was negative: they
+    # must all merge with the true zero row (value semantics), on the FAST
+    # path — thousands of distinct sign-bit patterns used to collide in the
+    # hash and force the ~1.5 s np.unique(axis=0) fallback (s_in=10/20 eval).
+    import time
+    flat4 = stream[(np.arange(2048)[:, None] + np.arange(27)) % 96]
+    mask = (np.arange(2048) % 2 == 0).astype(np.float32)
+    flat4 = (flat4 * mask[:, None, None]).reshape(-1, 34)
+    t0 = time.perf_counter()
+    u4, i4 = dedup_rows(flat4)
+    dt = time.perf_counter() - t0
+    zero_ids = np.unique(i4[(flat4 == 0).all(axis=1)])
+    assert len(zero_ids) == 1, "all value-zero rows must share one group"
+    assert (u4[i4] == flat4).all()  # -0.0 == 0.0 under float ==
+    assert len(u4) == 97  # 96 distinct stream rows + the zero row
+    assert dt < 0.5, f"fallback fired ({dt:.2f}s) — hash collided on -0.0"

@@ -154,6 +154,29 @@ def run_variant(name, model, variables, x, sm):
         _, central = step(x, sm)
         return np.asarray(jax.device_get(central))
 
+    if name.startswith("shared_"):
+        # The shared-spatial eval path (EVAL_SHARED_SPATIAL, the window-
+        # sparse eval default): host dedup + per-unique-frame spatial
+        # features + device gather, at a precision rung.
+        import jax.numpy as jnp
+        from uplift_upsample_tpu.data.keypoint_order import H36MOrder17P
+        from uplift_upsample_tpu.eval import make_test_step
+        from uplift_upsample_tpu.utils.dedup import dedup_rows
+        rung = name.split("_", 1)[1]
+        step = make_test_step(model, variables, flip_tta=False,
+                              flip_lr_indices=H36MOrder17P.flip_lr_indices(),
+                              fused="full", precision=rung,
+                              shared_spatial=True)
+        b, n = x.shape[:2]
+        xm = np.asarray(x)  # already masked in build_model_and_inputs
+        uniq, inv = dedup_rows(xm.reshape(b * n, -1))
+        u_max = -(-len(uniq) // 8) * 8
+        uq = np.zeros((u_max, 17, 2), np.float32)
+        uq[:len(uniq)] = uniq.reshape(-1, 17, 2)
+        idx = inv.reshape(b, n).astype(np.int32)
+        _, central = step(jnp.asarray(uq), jnp.asarray(idx), sm)
+        return np.asarray(jax.device_get(central))
+
     raise SystemExit(f"unknown variant {name}")
 
 
@@ -165,6 +188,7 @@ ASSERT_BOUNDS = {
     "rung_high_kf": 0.5,   # + keyframe-sparse spatial gather (s_in>stride)
     "rung_default": 120.0,  # throughput rung; measured ~55 — sanity only
     "fused_high3": 50.0,    # spatial kernel HIGH3 + XLA tail; measured ~38
+    "shared_high": 0.5,    # shared-spatial eval default (parity rung)
 }
 
 
