@@ -113,16 +113,30 @@ def test_dedup_rows_exact():
     # masked rows built as x * 0.0 carry -0.0 wherever x was negative: they
     # must all merge with the true zero row (value semantics), on the FAST
     # path — thousands of distinct sign-bit patterns used to collide in the
-    # hash and force the ~1.5 s np.unique(axis=0) fallback (s_in=10/20 eval).
-    import time
+    # hash and force the np.unique(axis=0) exact fallback (~1.5 s per 145k-row
+    # batch at the s_in=10/20 eval rungs). Assert structurally (spy on the
+    # fallback call) rather than by wall clock: suite load made a timing
+    # bound flaky.
+    from uplift_upsample_tpu.utils import dedup as dedup_mod
     flat4 = stream[(np.arange(2048)[:, None] + np.arange(27)) % 96]
     mask = (np.arange(2048) % 2 == 0).astype(np.float32)
     flat4 = (flat4 * mask[:, None, None]).reshape(-1, 34)
-    t0 = time.perf_counter()
-    u4, i4 = dedup_rows(flat4)
-    dt = time.perf_counter() - t0
+    fallback_calls = []
+    real_unique = np.unique
+
+    def spy_unique(*args, **kwargs):
+        if kwargs.get("axis") is not None:
+            fallback_calls.append(kwargs)
+        return real_unique(*args, **kwargs)
+
+    orig_np_unique = dedup_mod.np.unique
+    dedup_mod.np.unique = spy_unique
+    try:
+        u4, i4 = dedup_rows(flat4)
+    finally:
+        dedup_mod.np.unique = orig_np_unique
     zero_ids = np.unique(i4[(flat4 == 0).all(axis=1)])
     assert len(zero_ids) == 1, "all value-zero rows must share one group"
     assert (u4[i4] == flat4).all()  # -0.0 == 0.0 under float ==
     assert len(u4) == 97  # 96 distinct stream rows + the zero row
-    assert dt < 0.5, f"fallback fired ({dt:.2f}s) — hash collided on -0.0"
+    assert not fallback_calls, "exact fallback fired — hash collided on -0.0"

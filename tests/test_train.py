@@ -226,3 +226,69 @@ def test_train_step_loss_decreases():
         state, loss = step(state, batch)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.9, losses[::10]
+
+
+def test_grad_parity_vs_reference():
+    """Loss + FULL BACKWARD parity vs the reference TF train step.
+
+    Fixture from tools/make_grad_fixture.py: the reference model's random
+    weights and its tape.gradient per variable, both written through Keras
+    save_weights so this side can map them with the ordinary h5 converter
+    (layout transforms are pure permutations, so they map gradients exactly
+    like weights). Validates the loss weighting (reference train.py:477-494)
+    and every gradient leaf of jax.grad(make_loss_fn)."""
+    from uplift_upsample_tpu.models import build_uplift_upsample_transformer
+    from uplift_upsample_tpu.parallel.train_step import make_loss_fn
+    from uplift_upsample_tpu.utils.weights_h5 import load_keras_h5
+
+    case = "grad_small_strided"
+    weights_h5 = os.path.join(FIXTURE_DIR, f"{case}.h5")
+    grads_h5 = os.path.join(FIXTURE_DIR, f"{case}_grads.h5")
+    npz = os.path.join(FIXTURE_DIR, f"{case}.npz")
+    if not all(os.path.exists(p) for p in (weights_h5, grads_h5, npz)):
+        pytest.skip(f"fixture {case} missing; run tools/make_grad_fixture.py")
+    data = np.load(npz)
+
+    config = UpliftUpsampleConfig()
+    config.update_from({
+        "SEQUENCE_LENGTH": 9, "SEQUENCE_STRIDE": 5, "SPATIAL_EMBED_DIM": 16,
+        "TEMPORAL_EMBED_DIM": 32, "SPATIAL_TRANSFORMER_BLOCKS": 2,
+        "TEMPORAL_TRANSFORMER_BLOCKS": 2, "STRIDES": [3, 3],
+        "PADDINGS": [[0, 0], [0, 0]], "NUM_HEADS": 4, "BATCH_SIZE": 4,
+        "FIRST_STRIDED_TOKEN_ATTENTION_LAYER": 1,
+        "DROP_PATH_RATE": [0.0, 0.0, 0.0], "MASK_STRIDE": 3,
+        "ROOT_KEYTPOINT": 0, "LOSS_WEIGHT_CENTER": 1.0,
+        "LOSS_WEIGHT_SEQUENCE": 2.0, "EMA_ENABLED": False,
+    })
+    model = build_uplift_upsample_transformer(config)
+    assert model.full_output and model.has_strided_input
+    params = load_keras_h5(weights_h5, model)["params"]
+    ref_grads = load_keras_h5(grads_h5, model)["params"]
+
+    b, n, k = 4, 9, 17
+    batch = (
+        data["keypoints3d"], data["keypoints2d"],
+        np.ones((b, n), np.float32), np.zeros((b, 11), np.float32),
+        np.zeros((b,), np.int32), np.zeros((b,), np.int32),
+        np.zeros((b,), np.int32), data["stride_mask"],
+    )
+    batch = tuple(jnp.asarray(a) for a in batch)
+    loss_fn = make_loss_fn(model, config, dataset_name="h36m")
+    key = jax.random.PRNGKey(0)  # all dropout/droppath/token-mask rates are 0
+    rngs = {name: jax.random.fold_in(key, i)
+            for i, name in enumerate(("dropout", "droppath", "token_mask"))}
+    loss, grads = jax.value_and_grad(loss_fn)(params, batch, rngs)
+
+    np.testing.assert_allclose(float(loss), float(data["loss"]), rtol=1e-5)
+
+    flat_ours = jax.tree_util.tree_leaves_with_path(grads)
+    flat_ref = dict(jax.tree_util.tree_leaves_with_path(ref_grads))
+    assert len(flat_ours) == len(flat_ref) > 20
+    for path, g in flat_ours:
+        r = np.asarray(flat_ref[path])
+        g = np.asarray(g)
+        # f32 CPU TF vs JAX: identical math, different accumulation order.
+        scale = max(np.abs(r).max(), 1e-3)
+        np.testing.assert_allclose(
+            g, r, atol=2e-4 * scale, rtol=2e-3,
+            err_msg=f"gradient mismatch at {jax.tree_util.keystr(path)}")
