@@ -1,5 +1,10 @@
 """Benchmark: uplifted frames/sec/chip on the flagship h36m_351 model.
 
+`--config h36m_81` benches the other released H36M model family (41 input
+frames, SEQUENCE_STRIDE=2, padded first strided block → XLA fallback for the
+strided epilogue); all protocol constants (sequence length, stride, mask
+strides) derive from the named bundled config.
+
 Eval-protocol throughput. The published h36m_351 protocol (SEQUENCE_STRIDE=5,
 TEST_STRIDED_EVAL) computes the model only on keyframe-centered windows and
 fills the four frames between keyframes by interpolation (reference
@@ -44,24 +49,18 @@ import jax.numpy as jnp  # noqa: E402
 BASELINE_FRAMES_PER_SEC = 50_000.0
 
 
-def build(dtype: str, use_pallas: bool):
-    from uplift_upsample_tpu.config import UpliftUpsampleConfig
+def build(dtype: str, use_pallas: bool, config_name: str = "h36m_351"):
+    from uplift_upsample_tpu.configs import get_config
     from uplift_upsample_tpu.models import (build_uplift_upsample_transformer,
                                             init_model_params)
 
-    config = UpliftUpsampleConfig()
+    config = get_config(config_name)
     config.update_from({
-        "SEQUENCE_LENGTH": 71, "SEQUENCE_STRIDE": 5, "SPATIAL_EMBED_DIM": 32,
-        "TEMPORAL_EMBED_DIM": 384, "SPATIAL_TRANSFORMER_BLOCKS": 4,
-        "TEMPORAL_TRANSFORMER_BLOCKS": 4, "STRIDES": [3, 10, 3],
-        "PADDINGS": [[0, 0], [0, 0], [0, 0]], "NUM_HEADS": 8,
-        "MASK_STRIDE": [5, 10, 20], "FIRST_STRIDED_TOKEN_ATTENTION_LAYER": 1,
-        "DROP_PATH_RATE": [0.1, 0.1, 0.0],
         "COMPUTE_DTYPE": dtype, "USE_PALLAS_ATTENTION": use_pallas,
     })
     model = build_uplift_upsample_transformer(config)
     variables = init_model_params(model, seed=0)
-    return model, variables
+    return config, model, variables
 
 
 def bench_train(args):
@@ -71,21 +70,16 @@ def bench_train(args):
     carried TrainState inside one jitted lax.scan."""
     from functools import partial
 
-    from uplift_upsample_tpu.config import UpliftUpsampleConfig
+    from uplift_upsample_tpu.configs import get_config
     from uplift_upsample_tpu.models import (build_uplift_upsample_transformer,
                                             init_model_params)
     from uplift_upsample_tpu.parallel import TrainState, make_optimizer
     from uplift_upsample_tpu.parallel.train_step import make_loss_fn
     import optax
 
-    config = UpliftUpsampleConfig()
+    config = get_config(args.config)
     config.update_from({
-        "SEQUENCE_LENGTH": 71, "SEQUENCE_STRIDE": 5, "SPATIAL_EMBED_DIM": 32,
-        "TEMPORAL_EMBED_DIM": 384, "SPATIAL_TRANSFORMER_BLOCKS": 4,
-        "TEMPORAL_TRANSFORMER_BLOCKS": 4, "STRIDES": [3, 10, 3],
-        "PADDINGS": [[0, 0], [0, 0], [0, 0]], "NUM_HEADS": 8,
-        "MASK_STRIDE": [5, 10, 20], "FIRST_STRIDED_TOKEN_ATTENTION_LAYER": 1,
-        "DROP_PATH_RATE": [0.1, 0.1, 0.0], "BATCH_SIZE": args.batch,
+        "BATCH_SIZE": args.batch,
         "OPTIMIZER": "AdamW", "OPTIMIZER_PARAMS": {}, "WEIGHT_DECAY": 4e-6,
         "EMA_ENABLED": False, "SCHEDULE": "ExponentialDecay",
         "SCHEDULE_PARAMS": {"initial_learning_rate": 4e-5, "decay_steps": 6000,
@@ -102,7 +96,9 @@ def bench_train(args):
                        ema_params=None, step=jnp.zeros([], jnp.int32))
     loss_fn = make_loss_fn(model, config, dataset_name=args.train_dataset)
 
-    b, n, k = args.batch, 71, 17
+    b, n, k = args.batch, config.SEQUENCE_LENGTH, config.NUM_KEYPOINTS
+    ms = config.MASK_STRIDE
+    ms0 = (ms[0] if isinstance(ms, (list, tuple)) else ms) or 1
     rng = np.random.default_rng(0)
     if args.train_dataset == "amass":
         # AMASS pretraining step: world-space 3D + an 18-vec camera
@@ -119,7 +115,7 @@ def bench_train(args):
             world, cam18, np.ones((b, n), np.float32),
             np.zeros((b,), np.int32), np.zeros((b,), np.int32),
             np.zeros((b,), np.int32),
-            (np.arange(n) % 5 == 0)[None].repeat(b, 0),
+            (np.arange(n) % ms0 == 0)[None].repeat(b, 0),
         ))
     else:
         batch = tuple(jnp.asarray(a) for a in (
@@ -129,7 +125,7 @@ def bench_train(args):
             np.zeros((b, 11), np.float32),
             np.zeros((b,), np.int32), np.zeros((b,), np.int32),
             np.zeros((b,), np.int32),
-            (np.arange(n) % 5 == 0)[None].repeat(b, 0),
+            (np.arange(n) % ms0 == 0)[None].repeat(b, 0),
         ))
     base_key = jax.random.PRNGKey(0)
 
@@ -162,8 +158,9 @@ def bench_train(args):
     per_step = (t_large - t_small) / (args.iters - m_small)
     wps = args.batch / per_step
     suffix = "" if args.train_dataset == "h36m" else f"_{args.train_dataset}"
+    n_protocol = (n - 1) * config.SEQUENCE_STRIDE + 1
     print(json.dumps({
-        "metric": f"train_windows_per_sec_per_chip_n351{suffix}",
+        "metric": f"train_windows_per_sec_per_chip_n{n_protocol}{suffix}",
         "value": round(wps, 1),
         "unit": "windows/s",
         "vs_baseline": round(wps / 5000.0, 3),
@@ -177,6 +174,11 @@ def bench_train(args):
 
 def main():
     parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default="h36m_351",
+                        help="bundled config to bench (h36m_351 = the "
+                             "flagship 351-frame protocol; h36m_81 = the "
+                             "81-frame released model, whose padded first "
+                             "strided block exercises the XLA fallback)")
     parser.add_argument("--batch", type=int, default=None,
                         help="batch size (default: 2048 eval / 512 train — "
                              "the measured per-chip sweet spots)")
@@ -216,11 +218,12 @@ def main():
                         choices=["mixed", "default", "high", "highest"],
                         help="with --train: TRAIN_MATMUL_PRECISION rung for "
                              "the fused train kernels (see config.py)")
-    parser.add_argument("--mask-stride", type=int, default=5,
+    parser.add_argument("--mask-stride", type=int, default=None,
                         help="protocol input stride s_in for the benched "
-                             "windows (5 = fully dense tokens, the flagship "
-                             "row; 10/20 = token-sparse windows exercising "
-                             "the keyframe-sparse spatial path)")
+                             "windows (default: the config's first "
+                             "MASK_STRIDE — 5 on h36m_351, fully dense "
+                             "tokens; 10/20 = token-sparse windows "
+                             "exercising the keyframe-sparse spatial path)")
     parser.add_argument("--no-shared-spatial", dest="shared_spatial",
                         action="store_false",
                         help="disable the cross-window shared spatial stage "
@@ -240,7 +243,7 @@ def main():
     if args.train:
         return bench_train(args)
 
-    model, variables = build(args.dtype, args.pallas)
+    config, model, variables = build(args.dtype, args.pallas, args.config)
 
     # THE eval code path: bench.py and eval.py share make_test_step
     # (fused="full") AND the same default precision rung ("high", bf16x3,
@@ -256,11 +259,15 @@ def main():
     # token-sparse and the keyframe-sparse spatial path engages via
     # max_keyframes — the same configuration eval.py resolves per run.
     import math
-    n_frames, mid = 71, 71 // 2
+    n_frames, mid = config.SEQUENCE_LENGTH, config.SEQUENCE_LENGTH // 2
+    seq_stride = config.SEQUENCE_STRIDE
+    ms = config.MASK_STRIDE
     s_in = args.mask_stride
-    period = s_in // math.gcd(5, s_in)
-    t_off = 5 * (np.arange(n_frames) - mid)
-    sm_np = np.stack([((5 * r + t_off) % s_in) == 0
+    if s_in is None:
+        s_in = (ms[0] if isinstance(ms, (list, tuple)) else ms) or seq_stride
+    period = s_in // math.gcd(seq_stride, s_in)
+    t_off = seq_stride * (np.arange(n_frames) - mid)
+    sm_np = np.stack([((seq_stride * r + t_off) % s_in) == 0
                       for r in range(args.batch)])
     max_kf = (-(-n_frames // period)) if period > 1 else None
     use_shared = args.shared_spatial and args.fused_spatial
@@ -292,18 +299,24 @@ def main():
         # yields ~B + 70 unique frames (+1 zero row at s_in > 5, which
         # absorbs every masked token).
         stream = rng.normal(
-            size=(args.batch + n_frames - 1, 17, 2)).astype(np.float32) * 0.3
+            size=(args.batch + n_frames - 1, config.NUM_KEYPOINTS,
+                  2)).astype(np.float32) * 0.3
         win_idx_full = np.arange(args.batch)[:, None] + np.arange(n_frames)
         xm_np = stream[win_idx_full] * sm_np[:, :, None, None]
         from uplift_upsample_tpu.utils.dedup import dedup_rows
-        t0 = time.perf_counter()
-        uniq, inv = dedup_rows(xm_np.reshape(args.batch * n_frames, -1))
-        host_dedup_s = time.perf_counter() - t0
+        # Steady-state host rate (best of 3, like the device slope method):
+        # the first call pays one-time costs (page faults, allocator warmup)
+        # that a multi-batch eval run pays once, not per batch.
+        host_dedup_s = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            uniq, inv = dedup_rows(xm_np.reshape(args.batch * n_frames, -1))
+            host_dedup_s = min(host_dedup_s, time.perf_counter() - t0)
         n_unique = len(uniq)
         u_max = -(-min(args.batch * n_frames, args.batch + 1024) // 8) * 8
         assert n_unique <= u_max, (n_unique, u_max)
-        uq_np = np.zeros((u_max, 17, 2), np.float32)
-        uq_np[:n_unique] = uniq.reshape(-1, 17, 2)
+        uq_np = np.zeros((u_max, config.NUM_KEYPOINTS, 2), np.float32)
+        uq_np[:n_unique] = uniq.reshape(-1, config.NUM_KEYPOINTS, 2)
         x = jnp.asarray(uq_np)
         idx = jnp.asarray(inv.reshape(args.batch, n_frames).astype(np.int32))
 
@@ -312,8 +325,9 @@ def main():
             _, central = test_step(x, idx, sm)
             return central
     else:
-        x = jnp.asarray(
-            rng.normal(size=(args.batch, 71, 17, 2)).astype(np.float32) * 0.3)
+        x = jnp.asarray(rng.normal(
+            size=(args.batch, n_frames, config.NUM_KEYPOINTS,
+                  2)).astype(np.float32) * 0.3)
 
         def forward(variables, x, sm):
             del variables  # bound inside test_step
@@ -348,15 +362,16 @@ def main():
     # Protocol fan-out: the strided eval computes one window per
     # SEQUENCE_STRIDE=5 output frames (window-sparse strided protocol,
     # see module docstring + eval.py); --per-window drops the factor.
-    seq_stride = 5
     factor = 1 if args.per_window else seq_stride
     value = windows_per_sec * factor
     # vs_baseline stays unit-consistent: frames/s vs the 50k frames/s target,
     # or windows/s vs its windows-basis equivalent (50k / frames-per-window).
     baseline = BASELINE_FRAMES_PER_SEC / (seq_stride if args.per_window else 1)
+    n_protocol = (n_frames - 1) * seq_stride + 1
     print(json.dumps({
-        "metric": ("computed_windows_per_sec_per_chip_n351" if args.per_window
-                   else "uplifted_frames_per_sec_per_chip_n351"),
+        "metric": (f"computed_windows_per_sec_per_chip_n{n_protocol}"
+                   if args.per_window
+                   else f"uplifted_frames_per_sec_per_chip_n{n_protocol}"),
         "value": round(value, 1),
         "unit": "windows/s" if args.per_window else "frames/s",
         "vs_baseline": round(value / baseline, 3),
@@ -366,7 +381,7 @@ def main():
         "windows_per_sec": round(windows_per_sec, 1),
         "frames_per_window": seq_stride,
         "precision_rung": args.precision,
-        "s_in": args.mask_stride,
+        "s_in": s_in,
         "shared_spatial": use_shared,
     }))
     # Label the ACTUAL executed path: `fused` is the kernel pipeline mode
@@ -385,7 +400,7 @@ def main():
     print(f"# device={jax.devices()[0].device_kind} batch={args.batch} "
           f"iters={args.iters} dtype={args.dtype} flip_tta={args.flip_tta} "
           f"fused={'full' if args.fused_spatial else 'none'} "
-          f"precision={args.precision} s_in={args.mask_stride} "
+          f"precision={args.precision} s_in={s_in} "
           f"windows_per_s={windows_per_sec:.1f} "
           f"frames_per_window={factor} elapsed={elapsed:.3f}s{shared_note}",
           file=sys.stderr)
