@@ -159,6 +159,9 @@ def test_eval_shared_spatial_matches_dense():
     config = UpliftUpsampleConfig(
         config_file=os.path.join(FIXTURE_DIR, "eval_small_config.json"))
     config.MASK_STRIDE = 5
+    # bit-identity only holds on identical execution: pin single-device so
+    # the shared and dense steps don't run under different shardings
+    config.DATA_PARALLEL_DEVICES = 1
 
     results = {}
     for shared in (False, True):
@@ -191,6 +194,7 @@ def test_eval_shared_spatial_capacity_fallback():
         config_file=os.path.join(FIXTURE_DIR, "eval_small_config.json"))
     config.MASK_STRIDE = 5
     config.EVAL_SHARED_SPATIAL = True
+    config.DATA_PARALLEL_DEVICES = 1  # see test_eval_shared_spatial_matches_dense
 
     results = {}
     for extra in (1024, -10_000):  # normal capacity vs force-fallback
@@ -271,3 +275,36 @@ def test_sparse_rows_to_compute():
     state3 = [None, False]
     rows3 = sparse_rows_to_compute([0, 1, 2, 3, 4, 5], 5, state3)
     assert rows3 == [0, 5]
+
+
+def test_eval_data_parallel_matches_single_device():
+    """run_eval over the 8-virtual-device dp mesh (the DATA_PARALLEL_DEVICES
+    auto default when multiple devices are visible) must reproduce the
+    single-device metrics to partition-reorder noise."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    if not os.path.exists(os.path.join(FIXTURE_DIR, "eval_parity.json")):
+        pytest.skip("run tools/make_eval_fixture.py")
+
+    config = UpliftUpsampleConfig(
+        config_file=os.path.join(FIXTURE_DIR, "eval_small_config.json"))
+    config.MASK_STRIDE = 5
+
+    results = {}
+    for dp in (1, 8):
+        config.DATA_PARALLEL_DEVICES = dp
+        results[dp] = run_eval(
+            config=config, dataset_name="h36m",
+            dataset_path=os.path.join(SYNTH_DIR, "data_3d_h36m.npz"),
+            dataset2d_path=os.path.join(SYNTH_DIR, "data_2d_h36m_synth.npz"),
+            test_subset="test",
+            weights_path=os.path.join(FIXTURE_DIR, "small_strided.h5"),
+            action_wise=True, verbose=False)
+
+    for section in (0, 1):
+        single, sharded = results[1][section][0], results[8][section][0]
+        for metric, value in single.items():
+            np.testing.assert_allclose(
+                sharded[metric], value, atol=1e-4, rtol=1e-7,
+                err_msg=f"dp-eval section {section}/{metric}")

@@ -102,3 +102,57 @@ def test_tp_forward_matches_unsharded():
 
     np.testing.assert_allclose(np.asarray(central_tp), np.asarray(central_ref), atol=1e-5)
     np.testing.assert_allclose(np.asarray(full_tp), np.asarray(full_ref), atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_dp_eval_step_matches_single_device():
+    """make_test_step(mesh=...) must reproduce the unsharded step exactly —
+    both the dense signature and the shared-spatial (unique frames +
+    win_idx) signature, on the XLA path the CPU mesh can execute."""
+    from uplift_upsample_tpu.data.keypoint_order import H36MOrder17P
+    from uplift_upsample_tpu.eval import make_test_step
+
+    config = _tiny_config(batch=16)
+    model = build_uplift_upsample_transformer(config)
+    variables = init_model_params(model, seed=0)
+    mesh = make_mesh(num_devices=8)
+    flip_idx = H36MOrder17P.flip_lr_indices()
+
+    rng = np.random.default_rng(3)
+    b, n, k = 16, config.SEQUENCE_LENGTH, config.NUM_KEYPOINTS
+    x = rng.normal(size=(b, n, k, 2)).astype(np.float32) * 0.3
+    sm = (np.arange(n) % 3 == 0)[None].repeat(b, 0)
+    sm[:, n // 2] = True
+
+    for flip in (False, True):
+        ref_step = make_test_step(model, variables, flip_tta=flip,
+                                  flip_lr_indices=flip_idx, fused="none")
+        dp_step = make_test_step(model, variables, flip_tta=flip,
+                                 flip_lr_indices=flip_idx, fused="none",
+                                 mesh=mesh)
+        ref_full, ref_central = ref_step(x, sm)
+        dp_full, dp_central = dp_step(x, sm)
+        np.testing.assert_allclose(np.asarray(dp_central),
+                                   np.asarray(ref_central), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(dp_full),
+                                   np.asarray(ref_full), atol=2e-5)
+
+    # Shared-spatial signature: unique frames replicated, windows sharded
+    from uplift_upsample_tpu.utils.dedup import dedup_rows
+    xm = x * sm[:, :, None, None]
+    uniq, inv = dedup_rows(xm.reshape(b * n, -1))
+    u_max = -(-len(uniq) // 8) * 8
+    uq = np.zeros((u_max, k, 2), np.float32)
+    uq[:len(uniq)] = uniq.reshape(-1, k, 2)
+    idx = inv.reshape(b, n).astype(np.int32)
+
+    ref_step = make_test_step(model, variables, flip_tta=False,
+                              flip_lr_indices=flip_idx, fused="none",
+                              shared_spatial=True)
+    dp_step = make_test_step(model, variables, flip_tta=False,
+                             flip_lr_indices=flip_idx, fused="none",
+                             shared_spatial=True, mesh=mesh)
+    _, ref_central = ref_step(uq, idx, sm)
+    _, dp_central = dp_step(uq, idx, sm)
+    np.testing.assert_allclose(np.asarray(dp_central),
+                               np.asarray(ref_central), atol=2e-5)

@@ -244,6 +244,10 @@ class UpliftUpsampleConfig(Config):
     # amortizes over fewer grid steps). Benchable via `bench.py --train
     # --train-wpt N`.
     TRAIN_TEMPORAL_WPT = 8
+    # Loss-log interval in steps (0 = auto: max(10, steps/60)). Each logged
+    # loss is a host sync — costly through relay-tunneled PJRT, so headless
+    # sweeps set this to STEPS_PER_EPOCH (one sync per epoch).
+    TRAIN_LOG_EVERY = 0
     # Matmul precision for eval ("default" | "high" | "highest"): TPU
     # "default" runs f32 dots as 1-pass bf16 (~0.8% relative output drift —
     # throughput mode); "high" = bf16x3 (~1e-5 relative, holds the 0.1 mm

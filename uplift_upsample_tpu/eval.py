@@ -43,7 +43,8 @@ def make_test_step(model, variables, flip_tta: bool, flip_lr_indices,
                    fused: str = None, precision: str = None,
                    max_keyframes: int = None,
                    assume_dense_mask: bool = False,
-                   shared_spatial: bool = False):
+                   shared_spatial: bool = False,
+                   mesh=None):
     """Jitted forward step with optional fused flip-TTA.
 
     `fused` selects the eval compute path — THE one configuration shared by
@@ -207,6 +208,19 @@ def make_test_step(model, variables, flip_tta: bool, flip_lr_indices,
             with jax.default_matmul_precision(precision):
                 return _step_inner(keypoints2d, stride_mask)
 
+    if mesh is not None:
+        # Data-parallel eval over a jax.sharding Mesh: windows shard on the
+        # "dp" axis, params (closed-over consts) replicate, XLA partitions
+        # the step. In the shared-spatial step the unique-frame tensor is
+        # REPLICATED — its U dim is not window-aligned, and at ~2k frames
+        # the redundant spatial stage is ≪ the sharded temporal stage. The
+        # caller guarantees BATCH_SIZE % mesh dp size == 0 (batches are
+        # padded to a full static batch already).
+        from .parallel.mesh import batch_sharding, replicated_sharding
+        data = batch_sharding(mesh)
+        repl = replicated_sharding(mesh)
+        in_sh = (repl, data, data) if shared_spatial else (data, data)
+        return jax.jit(step, in_shardings=in_sh, out_shardings=data)
     return jax.jit(step)
 
 
@@ -330,11 +344,29 @@ def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d
     # statically inert — skip it.
     assume_dense = bool(window_sparse and period == 1)
     eval_precision = getattr(config, "EVAL_MATMUL_PRECISION", "high") or "high"
+
+    # Data-parallel eval mesh: shard the (static, padded) window batches over
+    # the available devices — same layout as training (parallel/mesh.py),
+    # params replicated, no collectives in the forward. Single-device runs
+    # (the common case here: one chip) keep mesh=None.
+    n_devices = len(jax.devices())
+    dp = getattr(config, "DATA_PARALLEL_DEVICES", -1)
+    dp = n_devices if dp in (-1, None) else dp
+    mesh = None
+    if dp > 1:
+        if config.BATCH_SIZE % dp == 0:
+            from .parallel.mesh import make_mesh
+            mesh = make_mesh(num_devices=dp)
+            log(f"Data-parallel eval over {dp} devices")
+        else:
+            log(f"BATCH_SIZE {config.BATCH_SIZE} does not divide over "
+                f"{dp} devices — single-device eval")
+
     test_step = make_test_step(
         model, variables, flip_tta=config.EVAL_FLIP,
         flip_lr_indices=config.AUGM_FLIP_KEYPOINT_ORDER,
         fused=fused_mode, precision=eval_precision,
-        max_keyframes=max_kf, assume_dense_mask=assume_dense)
+        max_keyframes=max_kf, assume_dense_mask=assume_dense, mesh=mesh)
 
     # Cross-window shared spatial stage (see EVAL_SHARED_SPATIAL in config.py
     # and models/bench_forward.shared_spatial_forward): in window-sparse mode
@@ -357,7 +389,7 @@ def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d
             model, variables, flip_tta=config.EVAL_FLIP,
             flip_lr_indices=config.AUGM_FLIP_KEYPOINT_ORDER,
             fused=fused_mode, precision=eval_precision,
-            assume_dense_mask=assume_dense, shared_spatial=True)
+            assume_dense_mask=assume_dense, shared_spatial=True, mesh=mesh)
         u_extra = int(getattr(config, "EVAL_SHARED_UMAX_EXTRA", 1024))
         u_max = min(config.BATCH_SIZE * config.SEQUENCE_LENGTH,
                     max(config.BATCH_SIZE + u_extra, config.SEQUENCE_LENGTH))

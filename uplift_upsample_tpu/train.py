@@ -293,8 +293,11 @@ def train_and_validate(config: UpliftUpsampleConfig, out_dir, dataset_name="h36m
         log(f"## EPOCH {epoch} / {config.EPOCHS}")
         loss_sum, loss_count = 0.0, 0
         # Fetching the loss syncs the device pipeline — costly through
-        # relay-tunneled PJRT — so log sparsely (reference logs every 10)
-        log_every = max(10, config.STEPS_PER_EPOCH // 60)
+        # relay-tunneled PJRT — so log sparsely (reference logs every 10;
+        # TRAIN_LOG_EVERY overrides, e.g. one sync per epoch for headless
+        # convergence sweeps where each sync costs seconds)
+        log_every = int(getattr(config, "TRAIN_LOG_EVERY", 0) or
+                        max(10, config.STEPS_PER_EPOCH // 60))
         for iteration in range(config.STEPS_PER_EPOCH):
             batch = to_device(next(train_iter))
             state, loss = train_step(state, batch)
