@@ -212,14 +212,19 @@ class UpliftUpsampleConfig(Config):
     # TRAIN_FUSED_SPATIAL's accelerator gating.
     TRAIN_FUSED_TEMPORAL = "auto"
     # Matmul precision for the fused TRAIN kernels (fwd+bwd dots):
-    # "mixed" (spatial HIGHEST / temporal DEFAULT — the conservative shipped
-    # default, matching what round-2 training ran), "default" (1-pass bf16
-    # everywhere with f32 accumulate/optimizer — standard bf16 mixed-
-    # precision training and the measured-fastest: 8,273 w/s at B=512/wpt8
-    # vs ~6.9k mixed; convergence at this rung is unverified without real
-    # data, so it is opt-in), "high" (bf16x3 everywhere; above the
+    # "default" (1-pass bf16 everywhere with f32 accumulate/optimizer —
+    # standard bf16 mixed-precision training, the measured-fastest: 9,462
+    # w/s at B=512/wpt8 with keyframe-sparse spatial vs 7,874 "mixed"),
+    # "mixed" (spatial HIGHEST / temporal DEFAULT — the conservative
+    # round-2/3 shipped default), "high" (bf16x3 everywhere; above the
     # reference's effective TF32 training fidelity), "highest" (full f32).
-    TRAIN_MATMUL_PRECISION = "mixed"
+    # The bf16 rung's convergence equivalence is measured: 10-epoch
+    # identical-data sweeps on the learnable synthetic task (tools/
+    # rung_convergence.py, PERF_NOTES "rung convergence") show mixed/
+    # default/high loss trajectories interleaving within ±2-4% with no
+    # systematic gap. Real-data confirmation still pending (dataset not in
+    # this environment) — revert to "mixed" per config if it ever disagrees.
+    TRAIN_MATMUL_PRECISION = "default"
     # Fused Pallas fwd+bwd for strided block 1 in training (head1 inline,
     # blocks 2+ and head2 stay flax). Gradient-parity-exact
     # (tests/test_fused_strided_train.py) but measured ~1 ms/step SLOWER
