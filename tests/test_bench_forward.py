@@ -250,13 +250,18 @@ def test_temporal_input_splice_alone():
 
 
 @pytest.mark.slow
-def test_bench_forward_padded_strides_fallback():
-    """h36m_81-style geometry (padding (1,1) on block 1): the strided-epilogue
-    fusion must fall back gracefully and still match the model."""
+@pytest.mark.parametrize("pads,n", [((1, 1), 41), ((1, 0), 43), ((0, 1), 43)])
+def test_bench_forward_padded_strides(pads, n):
+    """h36m_81-style geometry (padding (1,1) on block 1, plus the asymmetric
+    combinations at a length where the downstream stack stays non-empty):
+    the padded strided-epilogue (zero-padded conv taps via h1 lane masking,
+    residual cropped only at unpadded ends) must match the model. Before
+    round 4 padded geometries fell back to the XLA strided stack; now they
+    fuse like the (0,0) configs."""
     config = _flagship_small()
     config.update_from({"STRIDES": [4, 4, 3],
-                        "PADDINGS": [[1, 1], [0, 0], [0, 0]],
-                        "SEQUENCE_LENGTH": 41, "MASK_STRIDE": [4, 10, 20]})
+                        "PADDINGS": [list(pads), [0, 0], [0, 0]],
+                        "SEQUENCE_LENGTH": n, "MASK_STRIDE": [4, 10, 20]})
     model = build_uplift_upsample_transformer(config)
     variables = init_model_params(model, seed=5)
 
@@ -273,6 +278,48 @@ def test_bench_forward_padded_strides_fallback():
                             temporal_precision=jax.lax.Precision.HIGHEST)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=5e-5, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_shared_spatial_padded_strides():
+    """The shared-spatial eval default on the padded h36m_81 geometry (the
+    configuration bench.py --config h36m_81 actually times) must match the
+    dense fused path."""
+    from uplift_upsample_tpu.models.bench_forward import shared_spatial_forward
+
+    config = _flagship_small()
+    config.update_from({"STRIDES": [4, 4, 3],
+                        "PADDINGS": [[1, 1], [0, 0], [0, 0]],
+                        "SEQUENCE_LENGTH": 41, "MASK_STRIDE": [4, 10, 20]})
+    model = build_uplift_upsample_transformer(config)
+    variables = init_model_params(model, seed=23)
+
+    rng = np.random.default_rng(23)
+    b, n = 4, config.SEQUENCE_LENGTH
+    stream = rng.normal(size=(b + n - 1, 17, 2)).astype(np.float32) * 0.3
+    win_idx_np = np.arange(b)[:, None] + np.arange(n)[None, :]
+    sm_np = np.zeros((b, n), bool)
+    sm_np[:, ::4] = True
+    xm_np = (stream[win_idx_np] * sm_np[:, :, None, None]).astype(np.float32)
+    uniq, inv = np.unique(xm_np.reshape(b * n, -1), axis=0,
+                          return_inverse=True)
+    u_max = 56
+    assert len(uniq) <= u_max
+    uq = np.zeros((u_max, 17, 2), np.float32)
+    uq[:len(uniq)] = uniq.reshape(-1, 17, 2)
+    idx = inv.reshape(b, n).astype(np.int32)
+
+    sm = jnp.asarray(sm_np)
+    with pltpu.force_tpu_interpret_mode():
+        dense = bench_forward(model, variables, jnp.asarray(xm_np), sm,
+                              spatial_precision=jax.lax.Precision.HIGHEST,
+                              temporal_precision=jax.lax.Precision.HIGHEST)
+        shared = shared_spatial_forward(
+            model, variables, jnp.asarray(uq), jnp.asarray(idx), sm,
+            spatial_precision=jax.lax.Precision.HIGHEST,
+            temporal_precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(shared), np.asarray(dense),
+                               atol=2e-5, rtol=0)
 
 
 def test_bench_forward_assume_dense_mask_matches():

@@ -282,5 +282,12 @@ class UpliftUpsampleConfig(Config):
     # uniques; each extra sequence restart inside a batch adds ≤ N - 1).
     # Batches exceeding the capacity fall back to the dense step.
     EVAL_SHARED_UMAX_EXTRA = 1024
+    # Temporal-kernel windows per grid tile for EVAL ("auto" | int). The
+    # kernel lays wpt windows of s_pad = ceil(N/8)*8 padded frames on the
+    # lane axis (R = wpt*s_pad); "auto" picks 8 when that makes R a multiple
+    # of the 128-lane register width while wpt=4 does not (h36m_81: s_pad=48,
+    # R=384 — measured +10% over wpt=4), else the flagship-optimal 4
+    # (h36m_351: s_pad=72, neither aligns; wpt sweep in PERF_NOTES.md).
+    EVAL_TEMPORAL_WPT = "auto"
     # Data-parallel devices to use (-1: all visible devices).
     DATA_PARALLEL_DEVICES = -1

@@ -38,12 +38,28 @@ def log(*args):
     sys.stdout.flush()
 
 
+def resolve_temporal_wpt(wpt, num_frames: int) -> int:
+    """Eval temporal-kernel windows-per-tile (config EVAL_TEMPORAL_WPT).
+
+    "auto"/None: 8 when R = wpt*ceil(N/8)*8 aligns to the 128-lane register
+    width at wpt=8 but not at wpt=4 (h36m_81: s_pad=48 → R=384, measured
+    +10% over wpt=4), else 4 (flagship h36m_351 optimum; PERF_NOTES.md wpt
+    sweep)."""
+    if wpt not in (None, "auto"):
+        return int(wpt)
+    s_pad = -(-num_frames // 8) * 8
+    if (8 * s_pad) % 128 == 0 and (4 * s_pad) % 128 != 0:
+        return 8
+    return 4
+
+
 def make_test_step(model, variables, flip_tta: bool, flip_lr_indices,
                    fused_spatial: bool = False, strict_precision: bool = False,
                    fused: str = None, precision: str = None,
                    max_keyframes: int = None,
                    assume_dense_mask: bool = False,
                    shared_spatial: bool = False,
+                   temporal_wpt=None,
                    mesh=None):
     """Jitted forward step with optional fused flip-TTA.
 
@@ -97,6 +113,7 @@ def make_test_step(model, variables, flip_tta: bool, flip_lr_indices,
         from .models.bench_forward import bench_forward, shared_spatial_forward
         from .ops.pallas_spatial import HIGH3
         from .ops.pallas_temporal import stack_temporal_params
+        temporal_wpt = resolve_temporal_wpt(temporal_wpt, model.num_frames)
         # Precision ladder (measured in tools/check_tpu_parity.py, documented
         # in PERF_NOTES.md): "default" = 1-pass-bf16 dots (fast; ~0.8%
         # relative drift vs f32 — fine for throughput work, not for reporting
@@ -113,7 +130,7 @@ def make_test_step(model, variables, flip_tta: bool, flip_lr_indices,
                 central = shared_spatial_forward(
                     model, variables, unique2d, win_idx, stride_mask,
                     spatial_precision=sp_prec, temporal_precision=tm_prec,
-                    stacked_temporal=stacked,
+                    stacked_temporal=stacked, temporal_wpt=temporal_wpt,
                     assume_dense_mask=assume_dense_mask)
                 return None, central
         else:
@@ -124,7 +141,7 @@ def make_test_step(model, variables, flip_tta: bool, flip_lr_indices,
                 central = bench_forward(
                     model, variables, x, stride_mask, spatial_precision=sp_prec,
                     temporal_precision=tm_prec, stacked_temporal=stacked,
-                    max_keyframes=max_keyframes,
+                    max_keyframes=max_keyframes, temporal_wpt=temporal_wpt,
                     assume_dense_mask=assume_dense_mask)
                 return None, central
     elif fused in ("full", "spatial") and model.spatial_depth > 0:
@@ -362,11 +379,13 @@ def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d
             log(f"BATCH_SIZE {config.BATCH_SIZE} does not divide over "
                 f"{dp} devices — single-device eval")
 
+    eval_wpt = getattr(config, "EVAL_TEMPORAL_WPT", "auto")
     test_step = make_test_step(
         model, variables, flip_tta=config.EVAL_FLIP,
         flip_lr_indices=config.AUGM_FLIP_KEYPOINT_ORDER,
         fused=fused_mode, precision=eval_precision,
-        max_keyframes=max_kf, assume_dense_mask=assume_dense, mesh=mesh)
+        max_keyframes=max_kf, assume_dense_mask=assume_dense,
+        temporal_wpt=eval_wpt, mesh=mesh)
 
     # Cross-window shared spatial stage (see EVAL_SHARED_SPATIAL in config.py
     # and models/bench_forward.shared_spatial_forward): in window-sparse mode
@@ -389,7 +408,8 @@ def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d
             model, variables, flip_tta=config.EVAL_FLIP,
             flip_lr_indices=config.AUGM_FLIP_KEYPOINT_ORDER,
             fused=fused_mode, precision=eval_precision,
-            assume_dense_mask=assume_dense, shared_spatial=True, mesh=mesh)
+            assume_dense_mask=assume_dense, shared_spatial=True,
+            temporal_wpt=eval_wpt, mesh=mesh)
         u_extra = int(getattr(config, "EVAL_SHARED_UMAX_EXTRA", 1024))
         u_max = min(config.BATCH_SIZE * config.SEQUENCE_LENGTH,
                     max(config.BATCH_SIZE + u_extra, config.SEQUENCE_LENGTH))

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.pallas_spatial import spatial_stack_apply
 from ..ops.pallas_temporal import fused_temporal_stack, stack_temporal_params
@@ -105,6 +106,22 @@ def _tiled_forward(model, variables, x2d_masked, stride_mask, *,
     return central
 
 
+def _can_fuse_strided(model, temporal_impl: str, temporal_attn: str) -> bool:
+    """Whether strided block 1 can run as a temporal-kernel epilogue.
+
+    v3 + k=3 geometries with per-side conv padding ≤ 1 (all released
+    configs: h36m_351/amass (0,0), h36m_81 (1,1)). The banded-attention
+    epilogues only implement the (0,0) alignment.
+    """
+    if not (len(model.strides) > 0 and model.temporal_depth > 0
+            and model.paddings is not None and temporal_impl == "v3"):
+        return False
+    p0, p1 = model.paddings[0]
+    if temporal_attn == "banded":
+        return (p0, p1) == (0, 0)
+    return 0 <= p0 <= 1 and 0 <= p1 <= 1
+
+
 def bench_forward(model: UpliftUpsampleTransformer, variables, x2d_masked,
                   stride_mask, *, spatial_precision, temporal_precision,
                   stacked_temporal=None, temporal_impl: str = "v3",
@@ -145,10 +162,7 @@ def bench_forward(model: UpliftUpsampleTransformer, variables, x2d_masked,
     # Strided block 1 merges into the temporal kernel as an epilogue when the
     # geometry allows (one grid pass instead of two + no transpose pair);
     # blocks 2+ and head2 stay in XLA.
-    fuse_strided = (len(model.strides) > 0 and model.temporal_depth > 0
-                    and model.paddings is not None
-                    and tuple(model.paddings[0]) == (0, 0)
-                    and temporal_impl == "v3")
+    fuse_strided = _can_fuse_strided(model, temporal_impl, temporal_attn)
     # fused_temporal_stack_v3 halves windows_per_tile until it divides the
     # batch; the strided epilogue's PE tiling must use the SAME effective
     # value or its (C, wpt·s) operands mismatch the kernel tile at trace time.
@@ -236,12 +250,22 @@ def _post_s2t(model, variables, y, stride_mask, *, temporal_precision,
                 # banded epilogue expects pre-tiled (C, R) PE (in-kernel
                 # lane concat next to band arrays crashes Mosaic)
                 ep_list[-1] = jnp.tile(ep_list[-1], (1, eff_wpt))
+            b1_pads = tuple(int(p) for p in model.paddings[0])
+            if b1_pads != (0, 0):
+                # padded geometry (h36m_81): the epilogue zeroes h1's pad
+                # lanes so its lane shifts reproduce the conv's zero padding
+                valid = np.zeros((1, eff_wpt * s_pad), np.float32)
+                for w in range(eff_wpt):
+                    valid[0, w * s_pad: w * s_pad + model.num_frames] = 1.0
+                ep_list.append(jnp.asarray(valid))
             ep_ops = tuple(ep_list)
-            make_ep = (make_strided_b1_epilogue_banded
-                       if temporal_attn == "banded"
-                       else make_strided_b1_epilogue)
-            epilogue = make_ep(model.num_heads, eff_wpt, s_pad,
-                               model.temporal_d_model)
+            if temporal_attn == "banded":
+                epilogue = make_strided_b1_epilogue_banded(
+                    model.num_heads, eff_wpt, s_pad, model.temporal_d_model)
+            else:
+                epilogue = make_strided_b1_epilogue(
+                    model.num_heads, eff_wpt, s_pad, model.temporal_d_model,
+                    paddings=b1_pads)
         y = fused_temporal_stack_v3(
             y, stacked_temporal, inv_mask, num_blocks=model.temporal_depth,
             num_heads=model.num_heads, first_masked_blocks=fmb,
@@ -259,7 +283,8 @@ def _post_s2t(model, variables, y, stride_mask, *, temporal_precision,
 
     if fuse_strided:
         s0 = model.strides[0]
-        n_out = (model.num_frames - 3) // s0 + 1
+        p0, p1 = (int(model.paddings[0][0]), int(model.paddings[0][1]))
+        n_out = (model.num_frames + p0 + p1 - 3) // s0 + 1
         y = y[:, : (n_out - 1) * s0 + 1: s0]
         tail = model.clone(temporal_input=True, strided_entry=1)
     else:
@@ -302,10 +327,7 @@ def shared_spatial_forward(model: UpliftUpsampleTransformer, variables,
         stacked_temporal = stack_temporal_params(params, model.temporal_depth)
     fmb = (model.first_strided_token_attention_layer
            if model.has_strided_input else 0)
-    fuse_strided = (len(model.strides) > 0 and model.temporal_depth > 0
-                    and model.paddings is not None
-                    and tuple(model.paddings[0]) == (0, 0)
-                    and temporal_impl == "v3")
+    fuse_strided = _can_fuse_strided(model, temporal_impl, temporal_attn)
     eff_wpt = temporal_wpt
     while win_idx.shape[0] % eff_wpt != 0 and eff_wpt > 1:
         eff_wpt //= 2

@@ -228,26 +228,53 @@ def fused_strided_block1(x: jax.Array, operands: Dict, *, num_heads: int,
     return out.transpose(0, 2, 1).reshape(b, s, c)
 
 
-def make_strided_b1_epilogue(num_heads: int, wpt: int, s: int, c: int):
+def make_strided_b1_epilogue(num_heads: int, wpt: int, s: int, c: int,
+                             paddings=(0, 0)):
     """Epilogue for `fused_temporal_stack_v3`: runs strided block 1 in the
     same kernel invocation (saves one full grid pass + a transpose pair).
 
     Receives the temporal stack output x (C, R) in-kernel and the operands of
     `stack_strided_block1_params` (in _OP_ORDER); returns the pre-selection
-    output out[:, u] = x[:, u+1] + conv(h)[:, u] + bias (valid at u = s0*t).
+    output aligned so the caller selects lanes u = stride*t:
+
+      paddings (0,0)  (h36m_351/amass: crop-1 residual, no conv padding):
+        out[:, u] = x[:, u+1] + conv(h)[:, u] + bias
+      general p0,p1 ∈ {0,1} (h36m_81: paddings (1,1), reference
+      uplift_upsample_transformer.py:67-89,139-152 — zero-padded conv,
+      uncropped max-pool(1) residual where padding != 0):
+        out[:, u] = x[:, u + (p0==0)]
+                    + Σ_j wcj·h1[:, u − p0 + j] (taps outside the window = 0)
+                    + bias
+      The padded variants expect ONE extra epilogue operand after `pe`: a
+      (1, R) lane-validity row (1.0 on lanes < s_in of each window, 0.0 on
+      pad lanes). h1's pad lanes are zeroed with it, which makes every
+      cross-window / out-of-window lane shift pull exactly the zero the
+      reference's ZeroPad1D provides.
     """
     depth = c // num_heads
     scale_q = np.float32(1.0 / np.sqrt(depth))
+    p0, p1 = int(paddings[0]), int(paddings[1])
+    assert 0 <= p0 <= 1 and 0 <= p1 <= 1, paddings
+    padded = (p0, p1) != (0, 0)
+    res_shift = 1 if p0 == 0 else 0
 
     def shl(a, j):
         if j == 0:
             return a
+        if j < 0:  # shift lanes right by |j|, zero-fill the head
+            j = -j
+            return jnp.concatenate([jnp.zeros((a.shape[0], j), a.dtype),
+                                    a[:, :-j]], axis=1)
         return jnp.concatenate([a[:, j:], jnp.zeros((a.shape[0], j),
                                                     a.dtype)], axis=1)
 
     def epilogue(x, ep_refs, ln, ones_row, dot, dot_tt, dot_nt, padmask):
-        (ln1_g, ln1_b, wqkv, bqkv, wp, bp, ln2_g, ln2_b,
-         w1, b1, wc0, wc1, wc2, bc, pe) = ep_refs
+        if padded:
+            (ln1_g, ln1_b, wqkv, bqkv, wp, bp, ln2_g, ln2_b,
+             w1, b1, wc0, wc1, wc2, bc, pe, lane_valid) = ep_refs
+        else:
+            (ln1_g, ln1_b, wqkv, bqkv, wp, bp, ln2_g, ln2_b,
+             w1, b1, wc0, wc1, wc2, bc, pe) = ep_refs
         pe_t = jnp.concatenate([pe[:].astype(jnp.float32)] * wpt, axis=1)
         x = x + pe_t
         y = ln(x, ones_row, ln1_g[:], ln1_b[:], 1e-5)
@@ -266,10 +293,12 @@ def make_strided_b1_epilogue(num_heads: int, wpt: int, s: int, c: int):
         x = x + dot(wp[:].astype(jnp.float32), ctx) + bp[:]
         z = ln(x, ones_row, ln2_g[:], ln2_b[:], 1e-5)
         h1 = jnp.maximum(dot(w1[:].astype(jnp.float32), z) + b1[:], 0.0)
-        conv = dot(wc0[:].astype(jnp.float32), h1)
-        conv += shl(dot(wc1[:].astype(jnp.float32), h1), 1)
-        conv += shl(dot(wc2[:].astype(jnp.float32), h1), 2)
-        return shl(x, 1) + conv + bc[:]
+        if padded:
+            h1 = h1 * lane_valid[:]  # zero pad lanes = the conv's zero pad
+        conv = shl(dot(wc0[:].astype(jnp.float32), h1), -p0)
+        conv += shl(dot(wc1[:].astype(jnp.float32), h1), 1 - p0)
+        conv += shl(dot(wc2[:].astype(jnp.float32), h1), 2 - p0)
+        return shl(x, res_shift) + conv + bc[:]
 
     return epilogue
 
