@@ -322,6 +322,21 @@ def test_shared_spatial_padded_strides():
                                atol=2e-5, rtol=0)
 
 
+def test_resolve_temporal_wpt():
+    """EVAL_TEMPORAL_WPT auto rule: 8 only when it lane-aligns R=wpt*s_pad
+    to 128 and wpt=4 does not (h36m_81 s_pad=48 → 8; flagship s_pad=72 → 4;
+    s_pad already 128-aligned at wpt=4 → stay 4). Explicit ints win."""
+    from uplift_upsample_tpu.eval import resolve_temporal_wpt
+
+    assert resolve_temporal_wpt("auto", 41) == 8    # s_pad 48, R 384 = 3*128
+    assert resolve_temporal_wpt(None, 41) == 8
+    assert resolve_temporal_wpt("auto", 71) == 4    # s_pad 72: neither aligns
+    assert resolve_temporal_wpt("auto", 27) == 4    # s_pad 32: both align
+    assert resolve_temporal_wpt("auto", 9) == 8     # s_pad 16, R 128
+    assert resolve_temporal_wpt(2, 41) == 2
+    assert resolve_temporal_wpt("4", 41) == 4
+
+
 def test_bench_forward_assume_dense_mask_matches():
     """assume_dense_mask=True (key-mask machinery skipped) must equal the
     default path when the stride mask is genuinely all-ones."""

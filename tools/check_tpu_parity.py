@@ -36,7 +36,7 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 from tools.check_tpu_parity import build_model_and_inputs
-model, variables, x, sm = build_model_and_inputs(int(sys.argv[3]))
+model, variables, x, sm = build_model_and_inputs(int(sys.argv[3]), sys.argv[4])
 full, central = jax.jit(
     lambda v, a, m: model.apply(v, a, stride_mask=m, training=False)
 )(variables, x, sm)
@@ -45,7 +45,7 @@ print("truth ok", central.shape)
 """
 
 
-def build_model_and_inputs(batch):
+def build_model_and_inputs(batch, geometry="h36m_351"):
     import jax.numpy as jnp
     from uplift_upsample_tpu.config import UpliftUpsampleConfig
     from uplift_upsample_tpu.models import (build_uplift_upsample_transformer,
@@ -60,26 +60,43 @@ def build_model_and_inputs(batch):
         "MASK_STRIDE": [5, 10, 20], "FIRST_STRIDED_TOKEN_ATTENTION_LAYER": 1,
         "DROP_PATH_RATE": [0.1, 0.1, 0.0],
     })
+    # Real-input token period in the window-sparse protocol:
+    # s_in / gcd(SEQUENCE_STRIDE, s_in) at the first shipped mask stride.
+    token_period = 1
+    if geometry == "h36m_81":
+        # The second released family: padded first strided block (the padded
+        # strided-b1 epilogue) + the wpt=8 lane-exact temporal tiling.
+        config.update_from({
+            "SEQUENCE_LENGTH": 41, "SEQUENCE_STRIDE": 2,
+            "STRIDES": [4, 4, 3], "PADDINGS": [[1, 1], [0, 0], [0, 0]],
+            "MASK_STRIDE": [4, 10, 20],
+        })
+        token_period = 2
+    n = config.SEQUENCE_LENGTH
     model = build_uplift_upsample_transformer(config)
     variables = init_model_params(model, seed=0)
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=(batch, 71, 17, 2)).astype(np.float32) * 0.3)
-    sm = jnp.asarray((np.arange(71) % 5 == 0))[None].repeat(batch, axis=0)
+    x = jnp.asarray(rng.normal(size=(batch, n, 17, 2)).astype(np.float32) * 0.3)
+    sm = jnp.asarray((np.arange(n) % (5 if geometry == "h36m_351"
+                                      else token_period) == 0))
+    sm = sm[None].repeat(batch, axis=0)
     x = x * sm[:, :, None, None].astype(x.dtype)
     return model, variables, x, sm
 
 
-def ensure_truth(batch):
-    if os.path.exists(TRUTH_PATH):
-        d = np.load(TRUTH_PATH)
+def ensure_truth(batch, geometry="h36m_351"):
+    path = (TRUTH_PATH if geometry == "h36m_351"
+            else TRUTH_PATH.replace(".npz", f"_{geometry}.npz"))
+    if os.path.exists(path):
+        d = np.load(path)
         if d["central"].shape[0] == batch:
             return d
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("PALLAS_AXON_POOL_IPS", None)
-    subprocess.run([sys.executable, "-c", _TRUTH_SCRIPT, REPO, TRUTH_PATH,
-                    str(batch)], env=env, check=True)
-    return np.load(TRUTH_PATH)
+    subprocess.run([sys.executable, "-c", _TRUTH_SCRIPT, REPO, path,
+                    str(batch), geometry], env=env, check=True)
+    return np.load(path)
 
 
 def run_variant(name, model, variables, x, sm):
@@ -183,12 +200,15 @@ def run_variant(name, model, variables, x, sm):
 # On-chip regression bounds for the shipped eval rungs (random weights,
 # fixture scale ~4.6; see PERF_NOTES.md drift table). A kernel change that
 # breaks Mosaic lowering or leaks precision shows up here as a bound failure.
+# "h81_"-prefixed variants run the h36m_81 geometry (padded strided-b1
+# epilogue + wpt=8 lane-exact temporal tiling) against its own CPU-f32 truth.
 ASSERT_BOUNDS = {
     "rung_high": 0.5,      # parity rung; measured 0.172 mean
     "rung_high_kf": 0.5,   # + keyframe-sparse spatial gather (s_in>stride)
     "rung_default": 120.0,  # throughput rung; measured ~55 — sanity only
     "fused_high3": 50.0,    # spatial kernel HIGH3 + XLA tail; measured ~38
     "shared_high": 0.5,    # shared-spatial eval default (parity rung)
+    "h81_shared_high": 0.5,  # h36m_81 shared eval default (parity rung)
 }
 
 
@@ -206,13 +226,22 @@ def main():
     if args.assert_bounds:
         args.variants = ",".join(ASSERT_BOUNDS)
 
-    truth = ensure_truth(args.batch)["central"].astype(np.float64)
-    scale = float(np.std(truth))
+    ctx = {}  # geometry -> (truth, scale, model, variables, x, sm)
 
-    model, variables, x, sm = build_model_and_inputs(args.batch)
+    def geometry_ctx(geometry):
+        if geometry not in ctx:
+            truth = ensure_truth(args.batch, geometry)["central"]
+            truth = truth.astype(np.float64)
+            ctx[geometry] = (truth, float(np.std(truth)),
+                             *build_model_and_inputs(args.batch, geometry))
+        return ctx[geometry]
+
     failures = []
     for name in args.variants.split(","):
-        got = run_variant(name, model, variables, x, sm).astype(np.float64)
+        geometry, vname = ("h36m_81", name[4:]) if name.startswith("h81_") \
+            else ("h36m_351", name)
+        truth, scale, model, variables, x, sm = geometry_ctx(geometry)
+        got = run_variant(vname, model, variables, x, sm).astype(np.float64)
         dist = np.linalg.norm(got - truth, axis=-1)  # (B, 17) per-joint
         mean_mm = float(dist.mean() * 1000.0)
         rec = {
