@@ -282,6 +282,13 @@ class UpliftUpsampleConfig(Config):
     # uniques; each extra sequence restart inside a batch adds ≤ N - 1).
     # Batches exceeding the capacity fall back to the dense step.
     EVAL_SHARED_UMAX_EXTRA = 1024
+    # Device-resident train feed ("auto" | bool): upload the concatenated
+    # pose store(s) to the device once and materialize window batches inside
+    # the jitted train step from per-row plans (gather indices + masks +
+    # flip flags, ~0.2 MB/step vs ~45 MB of materialized windows).
+    # Bit-identical to the host feed (same epoch planner and RNG streams;
+    # tests/test_device_feed.py). "auto" = on for single-host TPU runs.
+    TRAIN_DEVICE_FEED = "auto"
     # Temporal-kernel windows per grid tile for EVAL ("auto" | int). The
     # kernel lays wpt windows of s_pad = ceil(N/8)*8 padded frames on the
     # lane axis (R = wpt*s_pad); "auto" picks 8 when that makes R a multiple

@@ -329,14 +329,24 @@ def make_loss_fn(model, config: UpliftUpsampleConfig, dataset_name: str = "h36m"
 
 
 def make_train_step(model, tx, config: UpliftUpsampleConfig, dataset_name: str = "h36m",
-                    mesh=None, rng_seed: int = 0):
-    """Returns jitted train_step(state, batch) → (state, loss)."""
+                    mesh=None, rng_seed: int = 0, device_feed=None):
+    """Returns jitted train_step(state, batch) → (state, loss).
+
+    device_feed: a data.device_feed.*DeviceFeed — the step then takes the
+    feed's per-row PLAN tuple instead of a materialized batch and gathers the
+    windows on device from the feed's resident pose store (~200x less
+    host→device traffic per step; bit-identical batches)."""
     loss_fn = make_loss_fn(model, config, dataset_name)
     base_key = jax.random.PRNGKey(rng_seed)
     ema_enabled = bool(config.EMA_ENABLED)
     ema_decay_cap = config.EMA_DECAY if ema_enabled else 0.0
+    if device_feed is not None:
+        store, mat = device_feed.store, device_feed.materialize
+        pad_edge = device_feed.pad_edge
 
     def step_fn(state: TrainState, batch):
+        if device_feed is not None:
+            batch = mat(store, batch, pad_edge)
         step_key = jax.random.fold_in(base_key, state.step)
         rngs = {name: jax.random.fold_in(step_key, i)
                 for i, name in enumerate(("dropout", "droppath", "token_mask"))}

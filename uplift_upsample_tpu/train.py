@@ -218,8 +218,6 @@ def train_and_validate(config: UpliftUpsampleConfig, out_dir, dataset_name="h36m
         from .parallel.mesh import replicated_sharding
         state = jax.device_put(state, replicated_sharding(mesh))
 
-    train_step = make_train_step(model, tx, config, dataset_name=dataset_name,
-                                 mesh=mesh, rng_seed=config.SHUFFLE_SEED)
     val_step = make_val_step(model, config, dataset_name=val_dataset_name, mesh=mesh)
 
     # ---- bookkeeping ------------------------------------------------------
@@ -275,8 +273,34 @@ def train_and_validate(config: UpliftUpsampleConfig, out_dir, dataset_name="h36m
         log(f"Multi-host feed: process {jax.process_index()}/"
             f"{jax.process_count()}, local batch {train_batcher.batch_size}")
 
+    # Device feed: pose stores resident on device, per-step host→device
+    # traffic = the window plan only (~0.2 MB vs ~45 MB materialized windows;
+    # bit-identical batches — data/device_feed.py). "auto" enables it on TPU
+    # single-host runs; the host feed remains the fallback and the multi-host
+    # path (each process would need per-shard plan routing).
+    tdf = getattr(config, "TRAIN_DEVICE_FEED", "auto")
+    if tdf == "auto":
+        from .utils.backend import is_tpu_backend
+        tdf = is_tpu_backend() and not multihost
+    device_feed = None
+    if tdf:
+        assert not multihost, "TRAIN_DEVICE_FEED does not support multi-host"
+        from .data.device_feed import make_device_feed
+        device_feed = make_device_feed(train_batcher)
+        if mesh is not None:
+            from .parallel.mesh import replicated_sharding as _repl
+            device_feed.store = jax.device_put(device_feed.store, _repl(mesh))
+        log("Device feed: pose store resident on device "
+            f"({sum(int(np.prod(v.shape)) * 4 for v in device_feed.store.values()) / 1e6:.0f} MB), "
+            "per-step transfer = window plans only")
+
+    train_step = make_train_step(model, tx, config, dataset_name=dataset_name,
+                                 mesh=mesh, rng_seed=config.SHUFFLE_SEED,
+                                 device_feed=device_feed)
+
     # Native-accelerated host feed, produced ahead by a background thread
-    train_iter = _threaded(train_batcher.batches(), depth=4)
+    train_iter = _threaded(device_feed.plan_batches() if device_feed is not None
+                           else train_batcher.batches(), depth=4)
     val_batcher = None if val_gen is None else make_fast_batcher(val_gen, val_dataset_name)
     if multihost and val_batcher is not None:
         val_batcher = HostShardedBatcher(val_batcher)
