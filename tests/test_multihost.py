@@ -101,6 +101,28 @@ np.testing.assert_array_equal(rows, np.asarray(local[0]))
 # Cross-process reduction over the global array
 total = jax.jit(lambda x: x.sum(), out_shardings=NamedSharding(mesh, P()))(
     global_batch[0])
+
+# Device feed across processes: full store replicated over the global mesh,
+# plan rows sharded per host, batch materialized on device — the seq3d
+# column must reassemble the host-feed batch exactly.
+from functools import partial
+from uplift_upsample_tpu.data.device_feed import make_device_feed
+from uplift_upsample_tpu.data.multihost import host_row_slice
+feed = make_device_feed(_make_batcher())
+repl = NamedSharding(mesh, P())
+store = {{k: jax.make_array_from_process_local_data(repl, np.asarray(v))
+          for k, v in feed.store.items()}}
+plan = next(iter(feed.plan_batches(rows=host_row_slice(32))))
+plan_g = globalize_batch(mesh, plan)
+mat = jax.jit(partial(feed.materialize, pad_edge=feed.pad_edge),
+              out_shardings=repl)
+dev_batch = mat(store, plan_g)
+# replicated output is fully addressable; compare against an independent
+# full-batch host batcher (identical seeds -> identical windows)
+host_full = next(iter(_make_batcher().batches()))
+np.testing.assert_array_equal(np.asarray(dev_batch[0]), host_full[0])
+np.testing.assert_array_equal(np.asarray(dev_batch[1]), host_full[1])
+print("device feed ok", jax.process_index())
 np.save(sys.argv[3], np.asarray([float(total)], np.float64))
 print("worker ok", jax.process_index())
 """

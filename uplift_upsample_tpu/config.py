@@ -287,7 +287,9 @@ class UpliftUpsampleConfig(Config):
     # the jitted train step from per-row plans (gather indices + masks +
     # flip flags, ~0.2 MB/step vs ~45 MB of materialized windows).
     # Bit-identical to the host feed (same epoch planner and RNG streams;
-    # tests/test_device_feed.py). "auto" = on for single-host TPU runs.
+    # tests/test_device_feed.py). "auto" = on for accelerator runs; under
+    # multi-host each process uploads the full store (replicated) and plans
+    # only its host's batch rows (tests/test_multihost.py worker).
     TRAIN_DEVICE_FEED = "auto"
     # Temporal-kernel windows per grid tile for EVAL ("auto" | int). The
     # kernel lays wpt windows of s_pad = ceil(N/8)*8 padded frames on the

@@ -275,21 +275,34 @@ def train_and_validate(config: UpliftUpsampleConfig, out_dir, dataset_name="h36m
 
     # Device feed: pose stores resident on device, per-step host→device
     # traffic = the window plan only (~0.2 MB vs ~45 MB materialized windows;
-    # bit-identical batches — data/device_feed.py). "auto" enables it on TPU
-    # single-host runs; the host feed remains the fallback and the multi-host
-    # path (each process would need per-shard plan routing).
+    # bit-identical batches — data/device_feed.py). "auto" enables it on
+    # accelerator runs. Multi-host: every process uploads the full store
+    # (replicated over the global mesh) and plans only its host's batch rows,
+    # exactly like the host feed's row sharding.
     tdf = getattr(config, "TRAIN_DEVICE_FEED", "auto")
     if tdf == "auto":
         from .utils.backend import is_tpu_backend
-        tdf = is_tpu_backend() and not multihost
+        tdf = is_tpu_backend()
     device_feed = None
     if tdf:
-        assert not multihost, "TRAIN_DEVICE_FEED does not support multi-host"
         from .data.device_feed import make_device_feed
-        device_feed = make_device_feed(train_batcher)
+        plan_rows = None
+        if multihost:
+            device_feed = make_device_feed(train_batcher.batcher)
+            plan_rows = train_batcher.rows
+        else:
+            device_feed = make_device_feed(train_batcher)
         if mesh is not None:
             from .parallel.mesh import replicated_sharding as _repl
-            device_feed.store = jax.device_put(device_feed.store, _repl(mesh))
+            repl = _repl(mesh)
+            if multihost:
+                # Every process holds the identical full store; lift it to a
+                # replicated global array (local data == global data).
+                device_feed.store = {
+                    k: jax.make_array_from_process_local_data(repl, np.asarray(v))
+                    for k, v in device_feed.store.items()}
+            else:
+                device_feed.store = jax.device_put(device_feed.store, repl)
         log("Device feed: pose store resident on device "
             f"({sum(int(np.prod(v.shape)) * 4 for v in device_feed.store.values()) / 1e6:.0f} MB), "
             "per-step transfer = window plans only")
@@ -299,7 +312,8 @@ def train_and_validate(config: UpliftUpsampleConfig, out_dir, dataset_name="h36m
                                  device_feed=device_feed)
 
     # Native-accelerated host feed, produced ahead by a background thread
-    train_iter = _threaded(device_feed.plan_batches() if device_feed is not None
+    train_iter = _threaded(device_feed.plan_batches(rows=plan_rows)
+                           if device_feed is not None
                            else train_batcher.batches(), depth=4)
     val_batcher = None if val_gen is None else make_fast_batcher(val_gen, val_dataset_name)
     if multihost and val_batcher is not None:
