@@ -177,3 +177,17 @@ def test_train_step_device_feed_matches_host():
     _, loss_h = step_host(fresh_state(), tuple(jnp.asarray(a) for a in hb))
     _, loss_d = step_dev(fresh_state(), tuple(jnp.asarray(a) for a in pb))
     np.testing.assert_allclose(float(loss_d), float(loss_h), rtol=1e-6)
+
+    # Validation step through the feed == through host batches
+    from uplift_upsample_tpu.parallel.train_step import make_val_step
+    val_host = make_val_step(model, config, dataset_name="h36m")
+    val_dev = make_val_step(model, config, dataset_name="h36m",
+                            device_feed=feed)
+    ph, gh, lh = val_host(params, tuple(jnp.asarray(a) for a in hb))
+    pd, gd, ld = val_dev(params, tuple(jnp.asarray(a) for a in pb))
+    np.testing.assert_array_equal(np.asarray(gd), np.asarray(gh))
+    np.testing.assert_allclose(np.asarray(pd), np.asarray(ph), atol=1e-6)
+    np.testing.assert_allclose(float(ld), float(lh), rtol=1e-6)
+    sub, act = feed.host_ids(pb)
+    np.testing.assert_array_equal(sub, np.asarray(hb[-4]))
+    np.testing.assert_array_equal(act, np.asarray(hb[-3]))

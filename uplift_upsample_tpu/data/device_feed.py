@@ -117,6 +117,12 @@ class H36mDeviceFeed:
         return _batches_with_carry(self.b._epoch_plan, self._plan_slice,
                                    self.batch_size, rows=rows)
 
+    def host_ids(self, plan):
+        """(subjects, actions) numpy rows for a plan batch (metrics are
+        host-side; saves fetching them back off the device)."""
+        s_i = plan[2]
+        return self.b.subjects[s_i], self.b.actions[s_i]
+
 
 class AMASSDeviceFeed:
     """AMASS variant of H36mDeviceFeed (cam_choice instead of s_i)."""
@@ -149,6 +155,11 @@ class AMASSDeviceFeed:
     def plan_batches(self, rows: slice = None):
         return _batches_with_carry(self.b._epoch_plan, self._plan_slice,
                                    self.batch_size, rows=rows)
+
+    def host_ids(self, plan):
+        n = plan[0].shape[0]
+        zeros = np.zeros(n, np.int32)
+        return zeros, zeros
 
 
 def make_device_feed(batcher):

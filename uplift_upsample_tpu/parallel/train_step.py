@@ -373,16 +373,20 @@ def make_train_step(model, tx, config: UpliftUpsampleConfig, dataset_name: str =
 
 
 def make_val_step(model, config: UpliftUpsampleConfig, dataset_name: str = "h36m",
-                  mesh=None):
+                  mesh=None, device_feed=None):
     """Returns jitted val_step(params, batch) → (pred_central, loss).
 
     Applies optional flip-TTA averaging on the central prediction, like the
-    reference validation loop (`train.py:608-627`).
+    reference validation loop (`train.py:608-627`). With `device_feed`, batch
+    is the feed's plan tuple and materializes on device (see make_train_step).
     """
     root = config.ROOT_KEYTPOINT
     mid = config.SEQUENCE_LENGTH // 2
     b, n, k = config.BATCH_SIZE, config.SEQUENCE_LENGTH, config.NUM_KEYPOINTS
     flip_idx = jnp.asarray(config.AUGM_FLIP_KEYPOINT_ORDER, dtype=jnp.int32)
+    if device_feed is not None:
+        feed_store, feed_mat = device_feed.store, device_feed.materialize
+        feed_pad_edge = device_feed.pad_edge
 
     def forward(params, keypoints2d, stride_mask):
         x = keypoints2d
@@ -393,6 +397,8 @@ def make_val_step(model, config: UpliftUpsampleConfig, dataset_name: str = "h36m
         return model.apply({"params": params}, x, training=False)
 
     def step_fn(params, batch):
+        if device_feed is not None:
+            batch = feed_mat(feed_store, batch, feed_pad_edge)
         keypoints2d, keypoints3d, stride_mask = _prepare_batch(batch, config, dataset_name)
         keypoints3d = keypoints3d - keypoints3d[:, :, root:root + 1, :]
         central_gt = keypoints3d[:, mid]

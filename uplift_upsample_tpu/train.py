@@ -218,7 +218,6 @@ def train_and_validate(config: UpliftUpsampleConfig, out_dir, dataset_name="h36m
         from .parallel.mesh import replicated_sharding
         state = jax.device_put(state, replicated_sharding(mesh))
 
-    val_step = make_val_step(model, config, dataset_name=val_dataset_name, mesh=mesh)
 
     # ---- bookkeeping ------------------------------------------------------
     logger = ScalarLogger(out_dir, use_tensorboard=use_tensorboard)
@@ -316,8 +315,23 @@ def train_and_validate(config: UpliftUpsampleConfig, out_dir, dataset_name="h36m
                            if device_feed is not None
                            else train_batcher.batches(), depth=4)
     val_batcher = None if val_gen is None else make_fast_batcher(val_gen, val_dataset_name)
-    if multihost and val_batcher is not None:
+    val_feed, val_rows = None, None
+    if val_batcher is not None and device_feed is not None:
+        from .data.device_feed import make_device_feed as _mdf
+        val_feed = _mdf(val_batcher)
+        if multihost:
+            from .data.multihost import host_row_slice
+            val_rows = host_row_slice(val_batcher.batch_size)
+            val_feed.store = {
+                k: jax.make_array_from_process_local_data(
+                    _repl(mesh), np.asarray(v))
+                for k, v in val_feed.store.items()}
+        elif mesh is not None:
+            val_feed.store = jax.device_put(val_feed.store, _repl(mesh))
+    elif multihost and val_batcher is not None:
         val_batcher = HostShardedBatcher(val_batcher)
+    val_step = make_val_step(model, config, dataset_name=val_dataset_name,
+                             mesh=mesh, device_feed=val_feed)
 
     def to_device(batch):
         if multihost:
@@ -374,8 +388,13 @@ def train_and_validate(config: UpliftUpsampleConfig, out_dir, dataset_name="h36m
             examples = 0
             import itertools
             n_val_batches = int(np.ceil(config.VALIDATION_EXAMPLES / config.BATCH_SIZE))
-            for batch in itertools.islice(val_batcher.batches(), n_val_batches):
-                subjects, actions = batch[-4], batch[-3]
+            val_src = (val_feed.plan_batches(rows=val_rows)
+                       if val_feed is not None else val_batcher.batches())
+            for batch in itertools.islice(val_src, n_val_batches):
+                if val_feed is not None:
+                    subjects, actions = val_feed.host_ids(batch)
+                else:
+                    subjects, actions = batch[-4], batch[-3]
                 pred_central, central_gt, loss = val_step(val_params, to_device(batch))
                 if multihost:
                     # Metrics are computed on host over the full batch: gather
