@@ -218,6 +218,12 @@ def main():
                         choices=["mixed", "default", "high", "highest"],
                         help="with --train: TRAIN_MATMUL_PRECISION rung for "
                              "the fused train kernels (see config.py)")
+    parser.add_argument("--eval-wpt", default=None,
+                        help="EVAL temporal-kernel windows-per-tile "
+                             "(default: the config's EVAL_TEMPORAL_WPT "
+                             "'auto' resolution — 4 at the flagship, 8 on "
+                             "h36m_81; sweepable for lane-alignment probes, "
+                             "e.g. 16 makes R=1152=9x128 exact at s_pad=72)")
     parser.add_argument("--mask-stride", type=int, default=None,
                         help="protocol input stride s_in for the benched "
                              "windows (default: the config's first "
@@ -277,7 +283,8 @@ def main():
         fused="full" if args.fused_spatial else "none",
         precision=args.precision,
         max_keyframes=None if use_shared else max_kf,
-        assume_dense_mask=period == 1, shared_spatial=use_shared)
+        assume_dense_mask=period == 1, shared_spatial=use_shared,
+        temporal_wpt=None if args.eval_wpt is None else int(args.eval_wpt))
 
     # Measurement notes for this environment: the PJRT relay makes
     # block_until_ready a no-op and adds ~5ms RPC per dispatch plus a large
