@@ -256,6 +256,13 @@ def main():
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
         c, s, wpt = 384, 72, 4
+        # Lane-alignment probe geometries: _s96 pads window tokens 72→96 so
+        # R = wpt·s hits an exact 128-lane multiple; _wpt<N> re-tiles.
+        if "_s96" in v:
+            s = 96
+        for part in v.split("_"):
+            if part.startswith("wpt") and part[3:].isdigit():
+                wpt = int(part[3:])
         r = wpt * s
 
         if v == "tv3probe_manyops":
