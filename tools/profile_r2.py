@@ -264,8 +264,15 @@ def main():
             if part.startswith("wpt") and part[3:].isdigit():
                 wpt = int(part[3:])
         r = wpt * s
+        # Geometry suffixes (_s96, _wpt<N>) are orthogonal to the probe KIND;
+        # strip them before dispatch so e.g. tv3probe_manyops_s96 reaches the
+        # manyops probe instead of silently falling through to the copy
+        # kernel (advisor finding, round 2).
+        kind = "_".join(part for part in v.split("_")
+                        if part != "s96"
+                        and not (part.startswith("wpt") and part[3:].isdigit()))
 
-        if v == "tv3probe_manyops":
+        if kind == "tv3probe_manyops":
             # Copy kernel with the REAL kernel's operand census: 4 blocks x
             # (2 LN cols + wqkv + bqkv col + wp + bp col + 2 LN cols + w1 +
             # b1 col + w2 + b2 col) + blkdiag + masks + ones = 53 operands.
@@ -318,7 +325,7 @@ def main():
                 )(x_t, blkdiag2, keyrow2, keyrow2, ones8, *blk_ops)
                 return out.transpose(0, 2, 1).reshape(bb, s, c)[:, :71]
             sec = device_timer(fn, t_in)
-        elif v in ("tv3probe_mixed", "tv3probe_mixed_vpu"):
+        elif kind in ("tv3probe_mixed", "tv3probe_mixed_vpu"):
             # Interleave LN stats with big dots like the real kernel.
             # "mixed": stats via M=1 MXU ones-dots (shape-thrash theory);
             # "mixed_vpu": stats via cross-sublane VPU reductions.
@@ -327,7 +334,7 @@ def main():
                                * 0.05).astype(jnp.bfloat16)
             ws = [wqkv] * 4
             ones8 = jnp.ones((8, c), jnp.float32)
-            use_mxu = v == "tv3probe_mixed"
+            use_mxu = kind == "tv3probe_mixed"
 
             def kernel(x_ref, ones_ref, w0, w1, w2, w3, o_ref):
                 acc = x_ref[0]
@@ -376,7 +383,7 @@ def main():
                 )(x_t, ones8, *ws)
                 return out.transpose(0, 2, 1).reshape(bb, s, c)[:, :71]
             sec = device_timer(fn, t_in)
-        elif v == "tv3probe_biases":
+        elif kind == "tv3probe_biases":
             # qkv4 + per-block (n,1) column bias operands — the padded-lane
             # VMEM theory: (1152,1) pads to (1152,128) = 590 KB each
             rng2 = np.random.default_rng(2)
@@ -419,7 +426,7 @@ def main():
                 )(x_t, *ws, *bs_)
                 return out.transpose(0, 2, 1).reshape(bb, s, c)[:, :71]
             sec = device_timer(fn, t_in)
-        elif v in ("tv3probe_weights", "tv3probe_qkv4", "tv3probe_ln8"):
+        elif kind in ("tv3probe_weights", "tv3probe_qkv4", "tv3probe_ln8"):
             rng2 = np.random.default_rng(2)
             wqkv = jnp.asarray(rng2.normal(size=(3 * c, c)).astype(np.float32)
                                * 0.05).astype(jnp.bfloat16)
@@ -428,10 +435,10 @@ def main():
 
             def kernel(x_ref, ones_ref, w0, w1, w2, w3, o_ref):
                 x = x_ref[0]
-                if v == "tv3probe_weights":
+                if kind == "tv3probe_weights":
                     o_ref[0] = x * 1.000001
                     return
-                if v == "tv3probe_qkv4":
+                if kind == "tv3probe_qkv4":
                     acc = x
                     for wr in (w0, w1, w2, w3):
                         qkv = jax.lax.dot_general(
@@ -477,7 +484,7 @@ def main():
                                                    jnp.float32),
                 )(x_t, ones8, *ws)
                 return out.transpose(0, 2, 1).reshape(bb, s, c)[:, :71]
-        elif v == "tv3probe_wrapper":
+        elif kind == "tv3probe_wrapper":
             @jax.jit
             def fn(t):
                 bb = t.shape[0]
@@ -486,7 +493,7 @@ def main():
                 x_t = xp.reshape(n_tiles, r, c).transpose(0, 2, 1)
                 out = x_t * 1.000001
                 return out.transpose(0, 2, 1).reshape(bb, s, c)[:, :71]
-        else:
+        elif kind in ("tv3probe_copy", "tv3probe_copy4"):
             def kernel(x_ref, o_ref):
                 o_ref[0] = x_ref[0] * 1.000001
 
@@ -497,7 +504,7 @@ def main():
                 n_tiles = (bb * s) // r
                 x_t = xp.reshape(n_tiles, r, c).transpose(0, 2, 1)
                 out = x_t
-                reps = 4 if v == "tv3probe_copy4" else 1
+                reps = 4 if kind == "tv3probe_copy4" else 1
                 for _ in range(reps):
                     out = pl.pallas_call(
                         kernel,
@@ -510,6 +517,8 @@ def main():
                                                        jnp.float32),
                     )(out)
                 return out.transpose(0, 2, 1).reshape(bb, s, c)[:, :71]
+        else:
+            raise ValueError(f"unrecognized tv3probe variant {v!r} (kind {kind!r})")
         sec = device_timer(fn, t_in)
     elif v.startswith("bench_fwd"):
         # End-to-end fused bench path:

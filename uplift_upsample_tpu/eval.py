@@ -473,48 +473,47 @@ def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d
 
     # Native-accelerated batches; chained deterministic epochs == the
     # reference's repeat(2) → batch → take(ceil) protocol. Matmul precision
-    # binds at trace time (first test_step call inside the context).
+    # is bound inside the step functions at trace time (make_test_step
+    # resolves the rung itself) — no outer context needed here.
     num_batches = int(np.ceil(num_examples / config.BATCH_SIZE))
     fast = FastH36mBatcher(generator, batch_size=config.BATCH_SIZE)
-    with jax.default_matmul_precision(
-            getattr(config, "EVAL_MATMUL_PRECISION", "default") or "default"):
-        for batch in itertools.islice(fast.batches(), num_batches):
-            seq3d, seq2d, seq_mask, cams, subjects, actions, indices, stride_masks = batch
+    for batch in itertools.islice(fast.batches(), num_batches):
+        seq3d, seq2d, seq_mask, cams, subjects, actions, indices, stride_masks = batch
 
-            include = min(config.BATCH_SIZE, num_examples - examples)
-            if window_sparse:
-                # Host-side safety net for the keyframe-sparse spatial bound:
-                # a window with more real-input frames than max_kf would be
-                # silently mis-gathered in bench_forward (documented
-                # precondition) — catch protocol drift here instead.
-                if max_kf is not None:
-                    counts = np.asarray(stride_masks[:include]).sum(axis=1)
-                    assert counts.max(initial=0) <= max_kf, (
-                        f"stride mask has {int(counts.max())} keyframes, "
-                        f"bound {max_kf} — MASK_STRIDE/window derivation "
-                        f"out of sync with the generator")
-                rows = sparse_rows_to_compute(indices[:include], kf_stride,
-                                              sparse_state)
-                for r in rows:
-                    pend_x.append(seq2d[r])
-                    pend_sm.append(stride_masks[r])
-                    pend_pos.append(examples + int(r))
-                flush()
-            else:
-                _, pred = test_step(jnp.asarray(seq2d), jnp.asarray(stride_masks))
-                # Keep predictions on device; fetching here would sync every
-                # batch (expensive through relay-tunneled PJRT). One transfer
-                # at the end.
-                pred_parts.append((pred, np.arange(examples, examples + include),
-                                   include))
-            seq3d = seq3d - seq3d[:, :, root:root + 1, :]
-            gt_central.extend(seq3d[:include, mid_index])
-            gt_subjects.extend(subjects[:include])
-            gt_actions.extend(actions[:include])
-            gt_indices.extend(indices[:include])
-            examples += include
+        include = min(config.BATCH_SIZE, num_examples - examples)
         if window_sparse:
-            flush(force=True)
+            # Host-side safety net for the keyframe-sparse spatial bound:
+            # a window with more real-input frames than max_kf would be
+            # silently mis-gathered in bench_forward (documented
+            # precondition) — catch protocol drift here instead.
+            if max_kf is not None:
+                counts = np.asarray(stride_masks[:include]).sum(axis=1)
+                assert counts.max(initial=0) <= max_kf, (
+                    f"stride mask has {int(counts.max())} keyframes, "
+                    f"bound {max_kf} — MASK_STRIDE/window derivation "
+                    f"out of sync with the generator")
+            rows = sparse_rows_to_compute(indices[:include], kf_stride,
+                                          sparse_state)
+            for r in rows:
+                pend_x.append(seq2d[r])
+                pend_sm.append(stride_masks[r])
+                pend_pos.append(examples + int(r))
+            flush()
+        else:
+            _, pred = test_step(jnp.asarray(seq2d), jnp.asarray(stride_masks))
+            # Keep predictions on device; fetching here would sync every
+            # batch (expensive through relay-tunneled PJRT). One transfer
+            # at the end.
+            pred_parts.append((pred, np.arange(examples, examples + include),
+                               include))
+        seq3d = seq3d - seq3d[:, :, root:root + 1, :]
+        gt_central.extend(seq3d[:include, mid_index])
+        gt_subjects.extend(subjects[:include])
+        gt_actions.extend(actions[:include])
+        gt_indices.extend(indices[:include])
+        examples += include
+    if window_sparse:
+        flush(force=True)
     if shared_fallbacks[0]:
         log(f"Shared-spatial: {shared_fallbacks[0]} batch(es) exceeded the "
             f"{u_max}-unique-frame capacity and used the dense step")

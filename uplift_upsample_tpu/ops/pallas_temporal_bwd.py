@@ -17,8 +17,10 @@ One kernel per block, both directions:
     grid axis) and summed by XLA; droppath-scale grads come back as
     sublane-reduced (1, R) rows segment-summed outside.
 
-Off by default (TRAIN_FUSED_TEMPORAL) until measured on-chip; gradient
-parity vs flax is pinned by tests/test_fused_temporal_train.py.
+Enabled by default on TPU (TRAIN_FUSED_TEMPORAL="auto" in
+parallel/train_step.py — measured faster than XLA autodiff at every batch
+size; PERF_NOTES.md training table); gradient parity vs flax is pinned by
+tests/test_fused_temporal_train.py.
 """
 
 from __future__ import annotations

@@ -18,7 +18,8 @@ over ICI.
 from __future__ import annotations
 
 import copy
-from typing import Any
+import dataclasses
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +38,62 @@ class TrainState:
     opt_state: Any
     ema_params: Any  # None when EMA disabled
     step: jax.Array  # global step (0-based)
+    # Device-side per-step loss accumulator. The reference averages the epoch
+    # loss over EVERY step (train.py:505,552-574 train_epoch_loss.update_state);
+    # summing on device and fetching once per epoch reproduces that exactly
+    # without a per-step device_get. Reset by the epoch loop at epoch start.
+    loss_sum: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros([], jnp.float32))
+
+
+class ScaleByKerasAdamState(NamedTuple):
+    count: jax.Array
+    mu: Any
+    nu: Any
+    nu_max: Any  # None unless amsgrad
+
+
+def _scale_by_keras_adam(b1=0.9, b2=0.999, eps=1e-8, amsgrad=False):
+    """Adam direction with Keras optimizer_v2 semantics.
+
+    The reference optimizers (tfa.AdamW's inner Adam and keras.Adam,
+    reference train.py:407-419) use the ε-hat formulation:
+
+        α_t = √(1−β₂ᵗ) / (1−β₁ᵗ)
+        update = α_t · m_t / (√v_t + ε)        (v̂_max instead of v for amsgrad)
+
+    — ε sits OUTSIDE the bias correction. optax.scale_by_adam computes
+    m̂/(√v̂+ε) instead, which at early steps is equivalent to scaling ε by
+    1/√(1−β₂ᵗ) (≈32× at t=1 for β₂=0.999): a real trajectory divergence
+    that the multi-step parity test (tests/test_train.py) pins down.
+    """
+
+    def init_fn(params):
+        mu = jax.tree.map(jnp.zeros_like, params)
+        nu = jax.tree.map(jnp.zeros_like, params)
+        nu_max = jax.tree.map(jnp.zeros_like, params) if amsgrad else None
+        return ScaleByKerasAdamState(jnp.zeros([], jnp.int32), mu, nu, nu_max)
+
+    def update_fn(updates, state, params=None):
+        del params
+        mu = jax.tree.map(lambda m, g: b1 * m + (1.0 - b1) * g,
+                          state.mu, updates)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1.0 - b2) * g * g,
+                          state.nu, updates)
+        count = state.count + 1
+        t = count.astype(jnp.float32)
+        alpha = jnp.sqrt(1.0 - b2 ** t) / (1.0 - b1 ** t)
+        if amsgrad:
+            nu_max = jax.tree.map(jnp.maximum, state.nu_max, nu)
+            denom = nu_max
+        else:
+            nu_max = None
+            denom = nu
+        updates = jax.tree.map(lambda m, v: alpha * m / (jnp.sqrt(v) + eps),
+                               mu, denom)
+        return updates, ScaleByKerasAdamState(count, mu, nu, nu_max)
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def _scheduled_decoupled_weight_decay(wd_schedule):
@@ -59,25 +116,31 @@ def make_optimizer(config: UpliftUpsampleConfig):
     """Build the optax optimizer + (lr_schedule, wd_schedule) from config."""
     lr_schedule = scheduler_by_name(config.SCHEDULE)(**config.SCHEDULE_PARAMS)
 
+    def keras_adam_kwargs(opt_params):
+        # Keras spells them beta_1/beta_2/epsilon/amsgrad
+        return dict(b1=opt_params.pop("beta_1", 0.9),
+                    b2=opt_params.pop("beta_2", 0.999),
+                    eps=opt_params.pop("epsilon", 1e-8),
+                    amsgrad=opt_params.pop("amsgrad", False))
+
     if config.OPTIMIZER == "AdamW":
         wd_params = copy.deepcopy(config.SCHEDULE_PARAMS)
         wd_params["initial_learning_rate"] = config.WEIGHT_DECAY
         wd_schedule = scheduler_by_name(config.SCHEDULE)(**wd_params)
         opt_params = dict(config.OPTIMIZER_PARAMS)
-        eps = opt_params.pop("epsilon", 1e-8)
         tx = optax.chain(
-            optax.scale_by_adam(eps=eps, **opt_params),
+            _scale_by_keras_adam(**keras_adam_kwargs(opt_params)),
             optax.scale_by_learning_rate(lr_schedule),  # negates
             _scheduled_decoupled_weight_decay(wd_schedule),
         )
+        assert not opt_params, f"unknown OPTIMIZER_PARAMS: {opt_params}"
         return tx, lr_schedule, wd_schedule
     elif config.OPTIMIZER == "Adam":
         opt_params = dict(config.OPTIMIZER_PARAMS)
-        eps = opt_params.pop("epsilon", 1e-8)
-        amsgrad = opt_params.pop("amsgrad", False)
-        scale = (optax.scale_by_amsgrad(eps=eps, **opt_params) if amsgrad
-                 else optax.scale_by_adam(eps=eps, **opt_params))
-        tx = optax.chain(scale, optax.scale_by_learning_rate(lr_schedule))
+        tx = optax.chain(
+            _scale_by_keras_adam(**keras_adam_kwargs(opt_params)),
+            optax.scale_by_learning_rate(lr_schedule))
+        assert not opt_params, f"unknown OPTIMIZER_PARAMS: {opt_params}"
         return tx, lr_schedule, None
     raise ValueError(config.OPTIMIZER)
 
@@ -362,7 +425,8 @@ def make_train_step(model, tx, config: UpliftUpsampleConfig, dataset_name: str =
                 lambda e, w: e - (1.0 - decay) * (e - w), ema_params, params)
 
         return TrainState(params=params, opt_state=opt_state,
-                          ema_params=ema_params, step=state.step + 1), loss
+                          ema_params=ema_params, step=state.step + 1,
+                          loss_sum=state.loss_sum + loss), loss
 
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=0)

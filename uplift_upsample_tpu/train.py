@@ -253,7 +253,6 @@ def train_and_validate(config: UpliftUpsampleConfig, out_dir, dataset_name="h36m
             f"{sidecar.get('epoch')} (best: {prev_best_weights_path})")
 
     root = config.ROOT_KEYTPOINT
-    mid = config.SEQUENCE_LENGTH // 2
 
     def make_fast_batcher(gen, name):
         if isinstance(gen, H36mSequenceGenerator):
@@ -343,7 +342,10 @@ def train_and_validate(config: UpliftUpsampleConfig, out_dir, dataset_name="h36m
     for epoch in range(initial_epoch, config.EPOCHS + 1):
         epoch_start = time.time()
         log(f"## EPOCH {epoch} / {config.EPOCHS}")
-        loss_sum, loss_count = 0.0, 0
+        # Reset the device-side loss accumulator (same-sharding multiply keeps
+        # the jitted step's input layout stable); the epoch's train/loss is
+        # then the exact all-steps mean (reference train.py:505), fetched once.
+        state = state.replace(loss_sum=state.loss_sum * 0)
         # Fetching the loss syncs the device pipeline — costly through
         # relay-tunneled PJRT — so log sparsely (reference logs every 10;
         # TRAIN_LOG_EVERY overrides, e.g. one sync per epoch for headless
@@ -355,8 +357,6 @@ def train_and_validate(config: UpliftUpsampleConfig, out_dir, dataset_name="h36m
             state, loss = train_step(state, batch)
             if iteration % log_every == 0:
                 loss_val = float(loss)
-                loss_sum += loss_val
-                loss_count += 1
                 elapsed = time.time() - epoch_start
                 eta = ((config.STEPS_PER_EPOCH - iteration - 1) / (iteration + 1)) * elapsed
                 log(f"{iteration}/{config.STEPS_PER_EPOCH} @ Epoch {epoch} "
@@ -371,7 +371,8 @@ def train_and_validate(config: UpliftUpsampleConfig, out_dir, dataset_name="h36m
         if config.STEPS_PER_EPOCH > 0:
             step_s = epoch_duration / config.STEPS_PER_EPOCH
             log(f"Finished epoch {epoch} in {format_time(epoch_duration)}, {step_s:.3f}s/step")
-            mean_loss = loss_sum / max(loss_count, 1)
+            mean_loss = float(state.loss_sum) / config.STEPS_PER_EPOCH
+            log(f"Epoch {epoch} mean train loss: {mean_loss:.6f}")
             logger.scalar("train/loss", mean_loss, epoch)
             logger.scalar("train/LR", float(lr_schedule(int(state.step))), epoch)
             if wd_schedule is not None:
