@@ -115,6 +115,67 @@ def test_h36m_generator_parity(name, h36m_flat):
     _compare_epochs(gen, ref)
 
 
+FPS100_GEN_CASES = {
+    # fps≠50 multiplier path (reference uplifiting_dataset.py:322-327): the
+    # per-sample window stride AND the absolute mask stride double at 100 fps.
+    "fps100_train": dict(seq_len=9, subsample=3, stride=2, padding_type="copy",
+                         flip_augment=True, in_batch_augment=False,
+                         mask_stride=[4, 20], stride_mask_align_global=False,
+                         rand_shift_stride_mask=True, shuffle=True, seed=0),
+    "fps100_eval": dict(seq_len=9, subsample=2, stride=2, padding_type="zeros",
+                        flip_augment=False, in_batch_augment=False,
+                        mask_stride=4, stride_mask_align_global=True,
+                        rand_shift_stride_mask=False, shuffle=False, seed=0),
+}
+
+
+@pytest.mark.parametrize("name", list(FPS100_GEN_CASES.keys()))
+def test_h36m_generator_parity_fps100(name, h36m_flat):
+    """Golden parity for sequences declared at 100 fps (multiplier path)."""
+    ref = np.load(_require(os.path.join(FIXTURE_DIR, f"gen_{name}.npz")))
+    cams, p3d, p2d, _, subj, act, frates = h36m_flat
+    frates100 = [100 for _ in frates]
+    gen = H36mSequenceGenerator(p3d, p2d, camera_params=cams, subjects=subj,
+                                actions=act, frame_rates=frates100, split="fixture",
+                                flip_lr_indices=H36MOrder17P.flip_lr_indices(),
+                                verbose=False, **FPS100_GEN_CASES[name])
+    assert len(gen) == int(ref["length"])
+    _compare_epochs(gen, ref)
+
+
+@pytest.mark.parametrize("name", list(FPS100_GEN_CASES.keys()))
+def test_fast_batcher_parity_fps100(name, h36m_flat):
+    """The vectorized batcher's multiplier path must be bit-identical to the
+    per-item generator at fps=100 (stride and mask-stride scaling per row)."""
+    from uplift_upsample_tpu.data.fast_batcher import FastH36mBatcher
+
+    cams, p3d, p2d, _, subj, act, frates = h36m_flat
+    frates100 = [100 for _ in frates]
+    make = lambda: H36mSequenceGenerator(
+        p3d, p2d, camera_params=cams, subjects=subj, actions=act,
+        frame_rates=frates100, split="fixture",
+        flip_lr_indices=H36MOrder17P.flip_lr_indices(), verbose=False,
+        **FPS100_GEN_CASES[name])
+    batch_size = 32
+    fast = FastH36mBatcher(make(), batch_size=batch_size)
+    ref_gen = make()
+
+    def repeat_epochs():
+        while True:
+            yield from ref_gen.next_epoch_iterator()
+
+    it = repeat_epochs()
+    n_batches = len(ref_gen) // batch_size + 2  # cross the epoch boundary
+    for bi, fast_batch in enumerate(fast.batches()):
+        if bi >= n_batches:
+            break
+        ref_rows = [next(it) for _ in range(batch_size)]
+        for ci in range(len(ref_rows[0])):
+            ref_col = np.stack([np.asarray(r[ci]) for r in ref_rows])
+            np.testing.assert_array_equal(np.asarray(fast_batch[ci]), ref_col,
+                                          err_msg=f"batch {bi} col {ci}")
+
+
 @pytest.mark.parametrize("name", list(AMASS_GEN_CASES.keys()))
 def test_amass_generator_parity(name):
     ref = np.load(_require(os.path.join(FIXTURE_DIR, f"gen_{name}.npz")))

@@ -114,6 +114,32 @@ def main():
                  length=np.array(len(gen)))
         print(f"gen_{name}: {cols[0].shape[0]} items, len={len(gen)}")
 
+    # fps≠50 multiplier path (reference uplifiting_dataset.py:322-327 +
+    # mask-stride scaling :329-339): the same sequences declared at 100 fps
+    # must double the window stride AND the absolute mask stride per sample.
+    frates100 = [100 for _ in frates]
+    for name, kwargs in {
+        "fps100_train": dict(seq_len=9, subsample=3, stride=2, padding_type="copy",
+                             flip_augment=True, in_batch_augment=False,
+                             mask_stride=[4, 20], stride_mask_align_global=False,
+                             rand_shift_stride_mask=True, shuffle=True, seed=0),
+        "fps100_eval": dict(seq_len=9, subsample=2, stride=2, padding_type="zeros",
+                            flip_augment=False, in_batch_augment=False,
+                            mask_stride=4, stride_mask_align_global=True,
+                            rand_shift_stride_mask=False, shuffle=False, seed=0),
+    }.items():
+        gen = H36mSequenceGenerator(p3d, p2d, camera_params=cams, subjects=subj,
+                                    actions=act, frame_rates=frates100,
+                                    split="fixture", flip_lr_indices=flip_idx,
+                                    verbose=False, **kwargs)
+        cols = collect(gen.next_epoch_iterator(), N_ITEMS)
+        cols2 = collect(gen.next_epoch_iterator(), 50)
+        np.savez(os.path.join(FIXTURE_DIR, f"gen_{name}.npz"),
+                 **{f"e1_{i}": c for i, c in enumerate(cols)},
+                 **{f"e2_{i}": c for i, c in enumerate(cols2)},
+                 length=np.array(len(gen)))
+        print(f"gen_{name}: {cols[0].shape[0]} items, len={len(gen)}")
+
     amass = AMASSDataset(path=amass_dir, h36m_path=path_3d, split="train_debug")
     for name, kwargs in AMASS_GEN_CASES.items():
         gen = AMASSSequenceGenerator(amass_dataset=amass, flip_lr_indices=flip_idx,

@@ -40,6 +40,43 @@ def make_synthetic_h36m_npz(path_3d, path_2d,
     return path_3d, path_2d
 
 
+def make_quirks_h36m_npz(path_3d, path_2d, seed=13):
+    """H36M npz pair with the quirks real (VideoPose3D-prepared) data has:
+
+    - canonical renamed action keys ("Photo 1", "WalkDog", ... — VideoPose3D's
+      prepare_data_h36m.py canonicalizes TakingPhoto→Photo, WalkingDog→WalkDog
+      before writing the npz; only on-disk frame DIRECTORIES keep the
+      original names, hence the loader's image-path revert fallback),
+    - per-subject action sets that differ: S11 lacks "Directions" (the
+      corrupted video VideoPose3D discards) — present for every other subject,
+    - per-action sequence lengths that differ across subjects,
+    - 2D detections longer than the mocap (trailing-frame truncation) for
+      some (subject, action) pairs and exactly equal for others.
+    """
+    rng = np.random.default_rng(seed)
+    base_actions = ["Directions", "Walking", "Walking 1", "Photo", "Photo 1",
+                    "WalkDog", "SittingDown 2"]
+    subjects = ("S1", "S5", "S6", "S7", "S8", "S9", "S11")
+    positions_3d, positions_2d = {}, {}
+    for si, subject in enumerate(subjects):
+        actions = [a for a in base_actions
+                   if not (subject == "S11" and a == "Directions")]
+        positions_3d[subject] = {}
+        positions_2d[subject] = {}
+        for ai, action in enumerate(actions):
+            frames = 45 + 7 * ((si + ai) % 5)
+            pose = rng.normal(size=(frames, 32, 3)).astype(np.float32) * 0.2
+            pose[..., 2] += 1.0
+            positions_3d[subject][action] = pose
+            extra = (si + ai) % 3  # 0 → exactly-equal-length 2D
+            cams = [rng.uniform(100, 900, size=(frames + extra, 17, 2)
+                                ).astype(np.float32) for _ in range(4)]
+            positions_2d[subject][action] = cams
+    np.savez_compressed(path_3d, positions_3d=positions_3d)
+    np.savez_compressed(path_2d, positions_2d=positions_2d)
+    return path_3d, path_2d
+
+
 def make_synthetic_amass_dir(out_dir, datasets=("CMU", "SFU"), subjects=2, actions=2,
                              frames=80, seed=11):
     """Write synthetic AMASS npz files into `out_dir`; returns the dir."""
