@@ -128,6 +128,80 @@ print("worker ok", jax.process_index())
 """
 
 
+_TRAIN_WORKER = r"""
+import os, sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=sys.argv[1],
+                           num_processes=2, process_id=int(sys.argv[2]))
+sys.path.insert(0, {repo!r})
+assert jax.process_count() == 2
+
+from uplift_upsample_tpu.config import UpliftUpsampleConfig
+from uplift_upsample_tpu.train import train_and_validate
+
+config = UpliftUpsampleConfig()
+config.update_from({{
+    "SEQUENCE_LENGTH": 9, "SEQUENCE_STRIDE": 5, "SPATIAL_EMBED_DIM": 16,
+    "TEMPORAL_EMBED_DIM": 32, "SPATIAL_TRANSFORMER_BLOCKS": 1,
+    "TEMPORAL_TRANSFORMER_BLOCKS": 2, "STRIDES": [3, 3],
+    "PADDINGS": [[0, 0], [0, 0]], "NUM_HEADS": 4, "MASK_STRIDE": [5, 10, 20],
+    "BATCH_SIZE": 16, "DROP_PATH_RATE": [0.0, 0.0, 0.0], "EPOCHS": 1,
+    "STEPS_PER_EPOCH": 2, "VALIDATION_INTERVAL": 1,
+    "CHECKPOINT_INTERVAL": 5,  # > EPOCHS: Orbax save needs one shared dir
+    "VALIDATION_EXAMPLES": 16, "OPTIMIZER": "AdamW", "OPTIMIZER_PARAMS": {{}},
+    "WEIGHT_DECAY": 4e-6, "SCHEDULE": "ExponentialDecay",
+    "SCHEDULE_PARAMS": {{"initial_learning_rate": 4e-5, "decay_steps": 6000,
+                         "decay_rate": 0.99, "staircase": True}},
+    "EMA_ENABLED": True, "EMA_DECAY": 0.999, "TRAIN_DEVICE_FEED": True,
+    "STRIDE_MASK_RAND_SHIFT": True, "IN_BATCH_AUGMENT": True,
+    "DATASET_VAL_3D_SUBSAMPLE_STEP": 10,
+}})
+synth = os.path.join({repo!r}, "tests", "fixtures", "synth")
+hist, best, last = train_and_validate(
+    config=config, out_dir=sys.argv[3], dataset_name="h36m",
+    h36m_path=os.path.join(synth, "data_3d_h36m.npz"),
+    dataset_2d_path=os.path.join(synth, "data_2d_h36m_synth.npz"),
+    train_subset="train", val_subset="val", test_subset=None)
+mpjpe = hist.latest_value("MPJPE")
+assert mpjpe is not None and np.isfinite(mpjpe), mpjpe
+assert last is not None and os.path.exists(last)
+np.save(sys.argv[4], np.asarray([mpjpe, hist.latest_value("loss")], np.float64))
+print("train worker ok", jax.process_index())
+"""
+
+
+@pytest.mark.slow
+def test_two_process_train_epoch(tmp_path):
+    """A real one-epoch train_and_validate on 2 jax.distributed processes
+    (2 virtual CPU devices each → global dp=4 mesh): multihost device feed,
+    globally-sharded train steps, allgathered validation metrics, h5 export.
+    Both processes must agree on the resulting metrics exactly."""
+    port = 23459
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    script = _TRAIN_WORKER.format(repo=REPO)
+
+    procs, outs = [], []
+    for p in range(2):
+        out = str(tmp_path / f"metrics_{p}.npy")
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", script, f"127.0.0.1:{port}", str(p),
+             str(tmp_path / f"out_{p}"), out],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    for p, proc in enumerate(procs):
+        stdout, _ = proc.communicate(timeout=540)
+        assert proc.returncode == 0, f"proc {p}:\n{stdout.decode()[-4000:]}"
+
+    m0, m1 = np.load(outs[0]), np.load(outs[1])
+    np.testing.assert_array_equal(m0, m1)
+    assert np.all(np.isfinite(m0))
+
+
 def test_two_process_distributed_feed(tmp_path):
     port = 23457
     env = dict(os.environ)

@@ -152,6 +152,10 @@ def train_and_validate(config: UpliftUpsampleConfig, out_dir, dataset_name="h36m
     val_dataset_name = val_dataset_name or dataset_name
     os.makedirs(out_dir, exist_ok=True)
     checkpoint_dir = os.path.join(out_dir, "checkpoints")
+    # Create eagerly (reference path_utils.mkdirs, train.py:426): the Orbax
+    # manager only creates it on process 0 in a multi-process run, but the
+    # best/last .h5 exports write here from every process's filesystem view.
+    os.makedirs(checkpoint_dir, exist_ok=True)
 
     # ---- datasets ---------------------------------------------------------
     val_subset_name = None if val_dataset_name != dataset_name else val_subset
