@@ -235,12 +235,17 @@ def main():
                         help="disable the cross-window shared spatial stage "
                              "(eval.py's default window-sparse mode: spatial "
                              "features computed once per unique frame)")
+    parser.add_argument("--tta-2call", dest="tta_batched", action="store_false",
+                        help="with --flip-tta: run the flipped pass as a "
+                             "second full forward (the pre-round-3 path) "
+                             "instead of one concatenated 2B-window batch")
     parser.add_argument("--per-window", action="store_true",
                         help="report computed windows/sec as the metric "
                              "instead of protocol uplifted frames/sec "
                              "(= windows/sec x SEQUENCE_STRIDE)")
     parser.set_defaults(fused_spatial=True, shared_spatial=True,
-                        train_fused=True, train_fused_temporal=True)
+                        train_fused=True, train_fused_temporal=True,
+                        tta_batched=True)
     args = parser.parse_args()
 
     if args.batch is None:
@@ -284,7 +289,8 @@ def main():
         precision=args.precision,
         max_keyframes=None if use_shared else max_kf,
         assume_dense_mask=period == 1, shared_spatial=use_shared,
-        temporal_wpt=None if args.eval_wpt is None else int(args.eval_wpt))
+        temporal_wpt=None if args.eval_wpt is None else int(args.eval_wpt),
+        tta_batched=args.tta_batched)
 
     # Measurement notes for this environment: the PJRT relay makes
     # block_until_ready a no-op and adds ~5ms RPC per dispatch plus a large
@@ -406,6 +412,7 @@ def main():
                        f"host_dedup_windows_per_s={host_wps:.0f}")
     print(f"# device={jax.devices()[0].device_kind} batch={args.batch} "
           f"iters={args.iters} dtype={args.dtype} flip_tta={args.flip_tta} "
+          f"tta_batched={args.tta_batched} "
           f"fused={'full' if args.fused_spatial else 'none'} "
           f"precision={args.precision} s_in={s_in} "
           f"windows_per_s={windows_per_sec:.1f} "

@@ -156,3 +156,55 @@ def test_dp_eval_step_matches_single_device():
     _, dp_central = dp_step(uq, idx, sm)
     np.testing.assert_allclose(np.asarray(dp_central),
                                np.asarray(ref_central), atol=2e-5)
+
+
+def test_tta_batched_matches_two_call():
+    """Batched flip-TTA (one concatenated [unflipped; flipped] forward) must
+    equal the two-call TTA exactly — same math, different batching — on both
+    the dense and the shared-spatial step signatures (XLA path on CPU; the
+    fused path shares the identical _step_inner code)."""
+    from uplift_upsample_tpu.data.keypoint_order import H36MOrder17P
+    from uplift_upsample_tpu.eval import make_test_step
+    from uplift_upsample_tpu.utils.dedup import dedup_rows
+
+    config = _tiny_config(batch=8)
+    model = build_uplift_upsample_transformer(config)
+    variables = init_model_params(model, seed=0)
+    flip_idx = H36MOrder17P.flip_lr_indices()
+
+    rng = np.random.default_rng(5)
+    b, n, k = 8, config.SEQUENCE_LENGTH, config.NUM_KEYPOINTS
+    x = rng.normal(size=(b, n, k, 2)).astype(np.float32) * 0.3
+    sm = (np.arange(n) % 3 == 0)[None].repeat(b, 0)
+    sm[:, n // 2] = True
+
+    def mk(batched, shared=False):
+        return make_test_step(model, variables, flip_tta=True,
+                              flip_lr_indices=flip_idx, fused="none",
+                              shared_spatial=shared, tta_batched=batched)
+
+    # Same math, different batching: XLA fuses/reassociates the f32
+    # reductions (LN, attention softmax) differently for the 2B batch, so
+    # the comparison is reassociation-tight, not bit-tight (measured max
+    # 1.9e-6 on CPU).
+    full_b, central_b = mk(True)(x, sm)
+    full_2, central_2 = mk(False)(x, sm)
+    np.testing.assert_allclose(np.asarray(central_b), np.asarray(central_2),
+                               atol=5e-6)
+    np.testing.assert_allclose(np.asarray(full_b), np.asarray(full_2),
+                               atol=5e-6)
+
+    xm = x * sm[:, :, None, None]
+    uniq, inv = dedup_rows(xm.reshape(b * n, -1))
+    u_max = -(-len(uniq) // 8) * 8
+    uq = np.zeros((u_max, k, 2), np.float32)
+    uq[:len(uniq)] = uniq.reshape(-1, k, 2)
+    idx = inv.reshape(b, n).astype(np.int32)
+    _, central_sb = mk(True, shared=True)(uq, idx, sm)
+    _, central_s2 = mk(False, shared=True)(uq, idx, sm)
+    np.testing.assert_allclose(np.asarray(central_sb), np.asarray(central_s2),
+                               atol=5e-6)
+    # and the shared batched TTA equals the dense batched TTA (different
+    # dedup/gather route, same reassociation bound)
+    np.testing.assert_allclose(np.asarray(central_sb), np.asarray(central_b),
+                               atol=5e-6)

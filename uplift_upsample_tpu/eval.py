@@ -60,6 +60,7 @@ def make_test_step(model, variables, flip_tta: bool, flip_lr_indices,
                    assume_dense_mask: bool = False,
                    shared_spatial: bool = False,
                    temporal_wpt=None,
+                   tta_batched: bool = True,
                    mesh=None):
     """Jitted forward step with optional fused flip-TTA.
 
@@ -82,6 +83,10 @@ def make_test_step(model, variables, flip_tta: bool, flip_lr_indices,
     Returns fn(keypoints2d (B,N,K,2) unmasked, stride_mask (B,N) bool)
     → (pred_sequence (B,N,K,3) | None, pred_central (B,K,3)).
 
+    `tta_batched`: run flip-TTA as ONE forward on the concatenated
+    [unflipped; flipped] batch (2B windows / 2U unique frames in one kernel
+    invocation chain) instead of two full forwards. Exact — the same math,
+    batched. Config knob: EVAL_TTA_BATCHED (default True).
     `shared_spatial`: cross-window shared spatial stage (window-sparse
     protocol; see models/bench_forward.shared_spatial_forward). The step
     signature becomes fn(unique2d (U,K,2) MASKED deduped frames,
@@ -186,32 +191,61 @@ def make_test_step(model, variables, flip_tta: bool, flip_lr_indices,
         flipped = jnp.concatenate([-frames[..., :1], frames[..., 1:]], axis=-1)
         return jnp.take(flipped, flip_idx, axis=-2)
 
+    def _unflip_central(f_central):
+        return jnp.concatenate(
+            [-f_central[..., :1], f_central[..., 1:]], axis=-1)[:, flip_idx]
+
+    def _unflip_seq(f_seq):
+        return jnp.concatenate(
+            [-f_seq[..., :1], f_seq[..., 1:]], axis=-1)[:, :, flip_idx]
+
     def _step_inner(keypoints2d, stride_mask):
+        if flip_tta and tta_batched:
+            # Batched TTA: ONE forward on the concatenated
+            # [unflipped; flipped] batch (2B windows through one kernel
+            # invocation chain) instead of two full forwards — halves the
+            # per-call/dispatch overhead; per-window work is unchanged.
+            b = keypoints2d.shape[0]
+            both = jnp.concatenate([keypoints2d, _flip_in(keypoints2d)], axis=0)
+            sm2 = jnp.concatenate([stride_mask, stride_mask], axis=0)
+            pred_seq2, central2 = forward(both, sm2)
+            pred_central = (central2[:b] + _unflip_central(central2[b:])) / 2.0
+            pred_seq = None
+            if pred_seq2 is not None:
+                pred_seq = (pred_seq2[:b] + _unflip_seq(pred_seq2[b:])) / 2.0
+            return pred_seq, pred_central
         pred_seq, pred_central = forward(keypoints2d, stride_mask)
         if flip_tta:
             f_seq, f_central = forward(_flip_in(keypoints2d), stride_mask)
-            f_central = jnp.concatenate(
-                [-f_central[..., :1], f_central[..., 1:]], axis=-1)[:, flip_idx]
-            pred_central = (pred_central + f_central) / 2.0
+            pred_central = (pred_central + _unflip_central(f_central)) / 2.0
             if pred_seq is not None:
-                f_seq = jnp.concatenate(
-                    [-f_seq[..., :1], f_seq[..., 1:]], axis=-1)[:, :, flip_idx]
-                pred_seq = (pred_seq + f_seq) / 2.0
+                pred_seq = (pred_seq + _unflip_seq(f_seq)) / 2.0
         return pred_seq, pred_central
 
     def _step_inner_shared(unique2d, win_idx, stride_mask):
+        # flip is per-frame, so flipping the UNIQUE frames with the same
+        # gather indices is exactly the dense flip pass
+        if flip_tta and tta_batched:
+            # Batched TTA over the shared path: [uniques; flipped uniques]
+            # through one spatial invocation, [windows; flipped windows]
+            # (gathering from the second half) through one temporal chain.
+            u = unique2d.shape[0]
+            b = win_idx.shape[0]
+            both_u = jnp.concatenate([unique2d, _flip_in(unique2d)], axis=0)
+            both_idx = jnp.concatenate([win_idx, win_idx + u], axis=0)
+            both_sm = jnp.concatenate([stride_mask, stride_mask], axis=0)
+            pred_seq2, central2 = forward(both_u, both_idx, both_sm)
+            pred_central = (central2[:b] + _unflip_central(central2[b:])) / 2.0
+            pred_seq = None
+            if pred_seq2 is not None:
+                pred_seq = (pred_seq2[:b] + _unflip_seq(pred_seq2[b:])) / 2.0
+            return pred_seq, pred_central
         pred_seq, pred_central = forward(unique2d, win_idx, stride_mask)
         if flip_tta:
-            # flip is per-frame, so flipping the UNIQUE frames with the same
-            # gather indices is exactly the dense flip pass
             f_seq, f_central = forward(_flip_in(unique2d), win_idx, stride_mask)
-            f_central = jnp.concatenate(
-                [-f_central[..., :1], f_central[..., 1:]], axis=-1)[:, flip_idx]
-            pred_central = (pred_central + f_central) / 2.0
+            pred_central = (pred_central + _unflip_central(f_central)) / 2.0
             if pred_seq is not None:
-                f_seq = jnp.concatenate(
-                    [-f_seq[..., :1], f_seq[..., 1:]], axis=-1)[:, :, flip_idx]
-                pred_seq = (pred_seq + f_seq) / 2.0
+                pred_seq = (pred_seq + _unflip_seq(f_seq)) / 2.0
         return pred_seq, pred_central
 
     if shared_spatial:
@@ -380,12 +414,13 @@ def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d
                 f"{dp} devices — single-device eval")
 
     eval_wpt = getattr(config, "EVAL_TEMPORAL_WPT", "auto")
+    tta_batched = bool(getattr(config, "EVAL_TTA_BATCHED", True))
     test_step = make_test_step(
         model, variables, flip_tta=config.EVAL_FLIP,
         flip_lr_indices=config.AUGM_FLIP_KEYPOINT_ORDER,
         fused=fused_mode, precision=eval_precision,
         max_keyframes=max_kf, assume_dense_mask=assume_dense,
-        temporal_wpt=eval_wpt, mesh=mesh)
+        temporal_wpt=eval_wpt, tta_batched=tta_batched, mesh=mesh)
 
     # Cross-window shared spatial stage (see EVAL_SHARED_SPATIAL in config.py
     # and models/bench_forward.shared_spatial_forward): in window-sparse mode
@@ -409,7 +444,7 @@ def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d
             flip_lr_indices=config.AUGM_FLIP_KEYPOINT_ORDER,
             fused=fused_mode, precision=eval_precision,
             assume_dense_mask=assume_dense, shared_spatial=True,
-            temporal_wpt=eval_wpt, mesh=mesh)
+            temporal_wpt=eval_wpt, tta_batched=tta_batched, mesh=mesh)
         u_extra = int(getattr(config, "EVAL_SHARED_UMAX_EXTRA", 1024))
         u_max = min(config.BATCH_SIZE * config.SEQUENCE_LENGTH,
                     max(config.BATCH_SIZE + u_extra, config.SEQUENCE_LENGTH))
