@@ -207,7 +207,10 @@ def main():
             want = mean * b + 8.0 * math.sqrt(var * b) + model.num_frames
             frames = int(min(frames_total, -(-want // 128) * 128))
             frames = -(-frames // 128) * 128  # kernel wants F % 128 == 0
-        print(f"# frames={frames} (dense {frames_total})", file=sys.stderr)
+        block_f = int(os.environ.get("PT_BLOCK_F", 128))
+        frames = -(-frames // block_f) * block_f  # tile-exact for the sweep
+        print(f"# frames={frames} (dense {frames_total}) block_f={block_f}",
+              file=sys.stderr)
         rng = np.random.default_rng(0)
         x_t = jnp.asarray(rng.normal(size=(model.num_keypoints, 2, frames))
                           .astype(np.float32) * 0.3)
@@ -221,7 +224,7 @@ def main():
 
         def fwd_loss(stacked_p, x):
             y = fused_spatial_train(stacked_p, x, scales, d,
-                                    model.num_heads, prec)
+                                    model.num_heads, prec, block_f)
             return jnp.sum(y * 1e-3)
 
         grad_fn = jax.value_and_grad(fwd_loss, argnums=(0, 1))

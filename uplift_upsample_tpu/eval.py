@@ -405,7 +405,14 @@ def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d
     dp = n_devices if dp in (-1, None) else dp
     mesh = None
     if dp > 1:
-        if config.BATCH_SIZE % dp == 0:
+        from .utils.backend import is_tpu_backend
+        if fused_mode != "none" and not is_tpu_backend():
+            # Interpret-mode Pallas (the non-TPU fallback for the fused
+            # kernels) lowers to io_callbacks, which the SPMD partitioner
+            # rejects — a fused+mesh eval is only valid on real TPUs.
+            log(f"fused={fused_mode} runs Pallas in interpret mode on this "
+                f"backend — single-device eval")
+        elif config.BATCH_SIZE % dp == 0:
             from .parallel.mesh import make_mesh
             mesh = make_mesh(num_devices=dp)
             log(f"Data-parallel eval over {dp} devices")

@@ -539,10 +539,11 @@ def _xla_spatial_stack(stacked: Dict, x_t: jax.Array, droppath_scales,
 SPATIAL_BWD_IMPL = "pallas"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def fused_spatial_train(stacked: Dict, x_t: jax.Array, droppath_scales,
                         num_blocks: int, num_heads: int,
-                        precision=jax.lax.Precision.HIGHEST):
+                        precision=jax.lax.Precision.HIGHEST,
+                        block_f: int = 128):
     """Fused Pallas forward with a hand-written Pallas backward.
 
     stacked: stack_spatial_params output; x_t: (P, 2, F);
@@ -551,20 +552,25 @@ def fused_spatial_train(stacked: Dict, x_t: jax.Array, droppath_scales,
     precision: the TRAIN_MATMUL_PRECISION rung for fwd AND bwd dots
     (HIGHEST = full f32, HIGH3 = bf16x3 — both above the reference's
     effective TF32 training precision; DEFAULT = 1-pass bf16).
+    block_f: frames per grid step for BOTH the forward and backward kernels
+    (128-multiple; shrunk to fit if F isn't divisible). Fatter tiles
+    amortize the per-grid-step floor (config TRAIN_SPATIAL_BLOCK_F).
     """
     return fused_spatial_stack(x_t, stacked, num_blocks=num_blocks,
                                num_heads=num_heads,
                                precision=precision,
-                               droppath_scales=droppath_scales)
+                               droppath_scales=droppath_scales,
+                               block_f=block_f)
 
 
-def _fst_fwd(stacked, x_t, droppath_scales, num_blocks, num_heads, precision):
+def _fst_fwd(stacked, x_t, droppath_scales, num_blocks, num_heads, precision,
+             block_f):
     out = fused_spatial_train(stacked, x_t, droppath_scales, num_blocks,
-                              num_heads, precision)
+                              num_heads, precision, block_f)
     return out, (stacked, x_t, droppath_scales)
 
 
-def _fst_bwd(num_blocks, num_heads, precision, residuals, g):
+def _fst_bwd(num_blocks, num_heads, precision, block_f, residuals, g):
     stacked, x_t, droppath_scales = residuals
 
     if SPATIAL_BWD_IMPL == "pallas":
@@ -572,9 +578,13 @@ def _fst_bwd(num_blocks, num_heads, precision, residuals, g):
         dps = droppath_scales
         if dps is None:
             dps = jnp.ones((2 * num_blocks, x_t.shape[-1]), jnp.float32)
+        f = x_t.shape[-1]
+        bf = block_f
+        while bf > 128 and f % bf:
+            bf //= 2
         ds, dx, ddp = fused_spatial_stack_bwd(
             x_t, stacked, dps, g, num_blocks=num_blocks, num_heads=num_heads,
-            precision=precision)
+            precision=precision, block_f=bf)
         return ds, dx, (None if droppath_scales is None else ddp)
 
     def ref(stacked, x_t, dps):

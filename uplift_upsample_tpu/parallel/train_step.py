@@ -177,6 +177,10 @@ def make_loss_fn(model, config: UpliftUpsampleConfig, dataset_name: str = "h36m"
                      and model.spatial_depth > 0 and config.DROP_RATE == 0
                      and config.ATTENTION_DROP_RATE == 0
                      and config.TOKEN_MASK_RATE == 0)
+    # Frames per grid step for the fused spatial kernels: fatter tiles
+    # amortize the per-grid-step floor (PERF_NOTES round-6 decomposition —
+    # the kernel is floor-bound at the sparse budget).
+    sp_block_f = int(getattr(config, "TRAIN_SPATIAL_BLOCK_F", 128) or 128)
     # Fused Pallas temporal blocks in training (custom VJP fwd+bwd,
     # ops/pallas_temporal_bwd.py). Same eligibility rules.
     tft = getattr(config, "TRAIN_FUSED_TEMPORAL", "auto")
@@ -334,7 +338,7 @@ def make_loss_fn(model, config: UpliftUpsampleConfig, dataset_name: str = "h36m"
                                               frames)[:, order]
                 y = fused_spatial_train(stacked, x_t, scales,
                                         model.spatial_depth, model.num_heads,
-                                        sp_train_prec)
+                                        sp_train_prec, sp_block_f)
                 inv = (jnp.cumsum(flat_sm.astype(jnp.int32)) - 1).clip(0)
                 sp = y.transpose(2, 0, 1).reshape(
                     kf_budget, pp * model.spatial_d_model)[inv]
@@ -353,7 +357,7 @@ def make_loss_fn(model, config: UpliftUpsampleConfig, dataset_name: str = "h36m"
                                               frames + pad)
                 y = fused_spatial_train(stacked, x_t, scales,
                                         model.spatial_depth, model.num_heads,
-                                        sp_train_prec)
+                                        sp_train_prec, sp_block_f)
                 sp = y[:, :, :frames].transpose(2, 0, 1).reshape(
                     bb, nn_, pp * model.spatial_d_model)
             if fused_temporal:
