@@ -88,7 +88,8 @@ def bench_train(args):
         "TRAIN_FUSED_TEMPORAL": args.train_fused_temporal,
         "TRAIN_MATMUL_PRECISION": args.train_precision,
         "TRAIN_TEMPORAL_WPT": args.train_wpt,
-        "TRAIN_SPATIAL_BLOCK_F": args.spatial_block_f,
+        **({} if args.spatial_block_f is None
+           else {"TRAIN_SPATIAL_BLOCK_F": args.spatial_block_f}),
     })
     model = build_uplift_upsample_transformer(config)
     params = init_model_params(model, seed=0)["params"]
@@ -212,9 +213,10 @@ def main():
                         help="with --train: h36m (pre-projected 2D) or amass "
                              "(world-space 3D + in-step camera projection, "
                              "the pretraining path)")
-    parser.add_argument("--spatial-block-f", type=int, default=128,
+    parser.add_argument("--spatial-block-f", type=int, default=None,
                         help="frames per grid step for the fused spatial "
-                             "train kernels (TRAIN_SPATIAL_BLOCK_F)")
+                             "train kernels (default: the config's "
+                             "TRAIN_SPATIAL_BLOCK_F = 256)")
     parser.add_argument("--train-wpt", type=int, default=8,
                         help="with --train: TRAIN_TEMPORAL_WPT (windows per "
                              "temporal train-kernel tile)")

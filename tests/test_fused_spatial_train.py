@@ -205,9 +205,14 @@ def test_keyframe_sparse_train_grads_match_dense():
 
 def test_keyframe_sparse_overflow_poisons_loss():
     """A batch with more keyframes than the budget must NaN the loss (the
-    loud-failure contract) instead of silently dropping keyframes."""
+    loud-failure contract) instead of silently dropping keyframes.
+
+    TRAIN_SPATIAL_BLOCK_F pinned to 128: the budget aligns up to the
+    spatial tile (256 default would lift 128 past frames_total=144 and
+    legitimately fall back to the dense path — no overflow to poison)."""
     config = _config(TRAIN_FUSED_SPATIAL=True, BATCH_SIZE=16,
-                     TRAIN_KEYFRAME_SPARSE=True, TRAIN_KEYFRAME_BUDGET=128)
+                     TRAIN_KEYFRAME_SPARSE=True, TRAIN_KEYFRAME_BUDGET=128,
+                     TRAIN_SPATIAL_BLOCK_F=128)
     batch = list(_batch(config))
     batch[-1] = np.ones((16, config.SEQUENCE_LENGTH), bool)  # 144 > 128
     batch = tuple(jnp.asarray(a) for a in batch)

@@ -20,6 +20,7 @@ def test_entry_compiles():
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 @pytest.mark.slow
+@pytest.mark.timeout(570)  # compiles the full dp×mp train/eval/resume suite
 def test_dryrun_multichip():
     import __graft_entry__ as g
 

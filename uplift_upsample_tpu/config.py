@@ -207,10 +207,11 @@ class UpliftUpsampleConfig(Config):
     # TOKEN_MASK_RATE == 0; set False to force the XLA path.
     TRAIN_FUSED_SPATIAL = "auto"
     # Frames per grid step for the fused spatial TRAIN kernels (fwd + bwd).
-    # 128-multiple; fatter tiles amortize the measured per-grid-step floor
-    # (PERF_NOTES round-6: the kernel is floor-bound at the keyframe-sparse
-    # budget — ~17.6 ms fixed vs ~2 ms of real compute at 128).
-    TRAIN_SPATIAL_BLOCK_F = 128
+    # 128-multiple; measured sweep (PERF_NOTES round-6): 256 is the sweet
+    # spot (18.95 vs 19.88 ms isolated, +1.2% end-to-end step); 512
+    # regresses (21.6 ms — VMEM pressure). Per-frame math is block_f-
+    # invariant; only the param-grad partial-sum order changes.
+    TRAIN_SPATIAL_BLOCK_F = 256
     # Fused Pallas temporal blocks in training (Pallas fwd + hand-written
     # bwd, ops/pallas_temporal_bwd.py). Gradient-parity tested; measured
     # 79.8 ms/step vs 82.2 spatial-only at B=512. "auto" follows

@@ -553,9 +553,13 @@ def fused_spatial_train(stacked: Dict, x_t: jax.Array, droppath_scales,
     (HIGHEST = full f32, HIGH3 = bf16x3 — both above the reference's
     effective TF32 training precision; DEFAULT = 1-pass bf16).
     block_f: frames per grid step for BOTH the forward and backward kernels
-    (128-multiple; shrunk to fit if F isn't divisible). Fatter tiles
-    amortize the per-grid-step floor (config TRAIN_SPATIAL_BLOCK_F).
+    (128-multiple; shrunk to fit if F isn't divisible). Measured sweet spot
+    256 at the flagship budget (config TRAIN_SPATIAL_BLOCK_F; PERF_NOTES
+    round-6 — 512 regresses on VMEM pressure).
     """
+    f = x_t.shape[-1]
+    while block_f > 128 and f % block_f:
+        block_f //= 2
     return fused_spatial_stack(x_t, stacked, num_blocks=num_blocks,
                                num_heads=num_heads,
                                precision=precision,

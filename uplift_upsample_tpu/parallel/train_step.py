@@ -313,7 +313,8 @@ def make_loss_fn(model, config: UpliftUpsampleConfig, dataset_name: str = "h36m"
             budget_cfg = int(getattr(config, "TRAIN_KEYFRAME_BUDGET", 0) or 0)
             if budget_cfg:
                 want = budget_cfg
-            budget = int(min(frames_total, -(-want // 128) * 128))
+            align = max(128, sp_block_f)
+            budget = int(min(frames_total, -(-want // align) * align))
             if budget < frames_total:
                 kf_budget = budget
 
@@ -350,7 +351,7 @@ def make_loss_fn(model, config: UpliftUpsampleConfig, dataset_name: str = "h36m"
                 sp = jnp.where(overflow, jnp.float32(jnp.nan), sp)
             else:
                 x_t = x.reshape(frames, pp, cc).transpose(1, 2, 0)
-                pad = (-frames) % 128
+                pad = (-frames) % max(128, sp_block_f)
                 if pad:
                     x_t = jnp.pad(x_t, ((0, 0), (0, 0), (0, pad)))
                 scales = make_droppath_scales(rngs["droppath"], dp_rates,
