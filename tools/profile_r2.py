@@ -520,6 +520,328 @@ def main():
         else:
             raise ValueError(f"unrecognized tv3probe variant {v!r} (kind {kind!r})")
         sec = device_timer(fn, t_in)
+    elif v.startswith("tv3ladder"):
+        # tv3ladder<L>: standalone kernel replicating the REAL v3 kernel's
+        # per-block content up to level L, with pre-built device-resident
+        # operands and NO fused_temporal_stack_v3 wrapper. Finds where the
+        # 7 ms probe world becomes the 42 ms real-kernel world:
+        #   L1: LN (no affine) + qkv dot, 4 DISTINCT bf16 wqkv operands
+        #   L2: + LN affine ((C,1) gamma/beta operands per block)
+        #   L3: + qkv bias ((3C,1)) + residual adds (== real qkvonly content)
+        #   L4: + proj + LN2 + MLP with their operands (ctx := v; == noattn)
+        #   L5: + per-head attention dots + softmax (== the full real block)
+        #   L6: L5 + the real call's remaining fixed operands: grid-mapped
+        #       (1,1,R) keyrow/padrow streams + (8,C) ones, and the per-block
+        #       addmask = blkdiag + padrow[0] — operand-for-operand identical
+        #       to fused_temporal_stack_v3(bf16, fmb=0, attn=full).
+        #   L7: L6's operand set but addmask = blkdiag only (isolates the
+        #       stream cost from the mask-add cost).
+        # All levels: vmem_limit 64 MB (like the real call), grid (n_tiles,).
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        c, s, wpt = 384, 72, 4
+        r = wpt * s
+        level = int(v[len("tv3ladder"):] or "4")
+        rows = level >= 6          # stream keyrow/padrow/ones like the real call
+        content = min(level, 5)    # block math level
+        hidden = 768
+        heads, depth = 8, 48
+        rng2 = np.random.default_rng(2)
+
+        def mk(*shape, dt=jnp.float32):
+            a = rng2.normal(size=shape).astype(np.float32) * 0.05
+            return jnp.asarray(a).astype(dt)
+
+        blk_ops = []
+        for _ in range(4):
+            ops = {"wqkv": mk(3 * c, c, dt=jnp.bfloat16)}
+            if level >= 2:
+                ops["g1"], ops["b1_"] = mk(c, 1), mk(c, 1)
+            if level >= 3:
+                ops["bqkv"] = mk(3 * c, 1)
+            if level >= 4:
+                ops.update(wp=mk(c, c, dt=jnp.bfloat16), bp=mk(c, 1),
+                           g2=mk(c, 1), b2_=mk(c, 1),
+                           w1=mk(hidden, c, dt=jnp.bfloat16), bm1=mk(hidden, 1),
+                           w2=mk(c, hidden, dt=jnp.bfloat16), bm2=mk(c, 1))
+            blk_ops.append(ops)
+        keys = sorted(blk_ops[0].keys())
+        flat_ops = [blk_ops[i][k] for i in range(4) for k in keys]
+        npb = len(keys)
+        blkdiag_np = np.full((r, r), -1e9, np.float32)
+        for w in range(wpt):
+            blkdiag_np[w * s:(w + 1) * s, w * s:(w + 1) * s] = 0.0
+        blkdiag = jnp.asarray(blkdiag_np)
+
+        def ln(x, gamma, beta):
+            mu = jnp.mean(x, axis=0, keepdims=True)
+            xc = x - mu
+            var = jnp.mean(xc * xc, axis=0, keepdims=True)
+            y = xc / jnp.sqrt(var + 1e-5)
+            if gamma is not None:
+                y = y * gamma + beta
+            return y
+
+        dflt = jax.lax.Precision.DEFAULT
+
+        def kernel(*refs):
+            x_ref, bd_ref, o_ref = refs[0], refs[1], refs[-1]
+            base = 2
+            pr_ref = None
+            if rows:
+                _kr_ref, pr_ref, _ones_ref = refs[2], refs[3], refs[4]
+                base = 5
+            x = x_ref[0]
+            for blk in range(4):
+                d = dict(zip(keys, refs[base + npb * blk: base + npb * (blk + 1)]))
+                y = ln(x, d["g1"][:] if level >= 2 else None,
+                       d["b1_"][:] if level >= 2 else None)
+                qkv = jax.lax.dot_general(
+                    d["wqkv"][:].astype(jnp.float32), y,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=dflt)
+                if level >= 3:
+                    qkv = qkv + d["bqkv"][:]
+                if level < 4:
+                    x = x + qkv[:c] + qkv[c:2 * c] + qkv[2 * c:]
+                    continue
+                if level >= 5:
+                    addmask = (bd_ref[:] + pr_ref[0]) if level == 6 else bd_ref[:]
+                    ctx_parts = []
+                    for h in range(heads):
+                        qh = qkv[h * depth:(h + 1) * depth]
+                        kh = qkv[c + h * depth: c + (h + 1) * depth]
+                        vh = qkv[2 * c + h * depth: 2 * c + (h + 1) * depth]
+                        logits = jax.lax.dot_general(
+                            qh, kh, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=dflt) + addmask
+                        m = jnp.max(logits, axis=1, keepdims=True)
+                        ex = jnp.exp(logits - m)
+                        wgt = ex / jnp.sum(ex, axis=1, keepdims=True)
+                        ctx_parts.append(jax.lax.dot_general(
+                            vh, wgt, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=dflt))
+                    ctx = jnp.concatenate(ctx_parts, axis=0)
+                else:
+                    ctx = qkv[2 * c:]
+                proj = jax.lax.dot_general(
+                    d["wp"][:].astype(jnp.float32), ctx,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=dflt)
+                x = x + proj + d["bp"][:]
+                z = ln(x, d["g2"][:], d["b2_"][:])
+                z = jax.lax.dot_general(
+                    d["w1"][:].astype(jnp.float32), z,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=dflt) + d["bm1"][:]
+                z = jnp.maximum(z, 0.0)
+                z = jax.lax.dot_general(
+                    d["w2"][:].astype(jnp.float32), z,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=dflt) + d["bm2"][:]
+                x = x + z
+            o_ref[0] = x
+
+        def fullspec(a):
+            return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                memory_space=pltpu.VMEM)
+
+        pad_row_np = np.zeros((s,), np.float32)
+        pad_row_np[71:] = -1e9
+        padrow_tile = jnp.asarray(np.tile(pad_row_np, wpt))[None, :]  # (1, R)
+        ones_row = jnp.ones((8, c), jnp.float32)
+
+        @jax.jit
+        def fn(t, *flat):
+            bb = t.shape[0]
+            xp = jnp.pad(t, ((0, 0), (0, s - 71), (0, 0)))
+            n_tiles = (bb * s) // r
+            x_t = xp.reshape(n_tiles, r, c).transpose(0, 2, 1)
+            row_spec = pl.BlockSpec((1, 1, r), lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)
+            if rows:
+                keyrow = jnp.broadcast_to(padrow_tile, (n_tiles, 1, r))
+                padrow_full = jnp.broadcast_to(padrow_tile, (n_tiles, 1, r))
+                fixed_specs = [fullspec(blkdiag), row_spec, row_spec,
+                               fullspec(ones_row)]
+                fixed_args = (blkdiag, keyrow, padrow_full, ones_row)
+            else:
+                fixed_specs = [fullspec(blkdiag)]
+                fixed_args = (blkdiag,)
+            out = pl.pallas_call(
+                kernel,
+                grid=(n_tiles,),
+                in_specs=[pl.BlockSpec((1, c, r), lambda i: (i, 0, 0),
+                                       memory_space=pltpu.VMEM)]
+                + fixed_specs
+                + [fullspec(o) for o in flat],
+                out_specs=pl.BlockSpec((1, c, r), lambda i: (i, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((n_tiles, c, r), jnp.float32),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=64 * 1024 * 1024),
+            )(x_t, *fixed_args, *flat)
+            return out.transpose(0, 2, 1).reshape(bb, s, c)[:, :71]
+        sec = device_timer(fn, t_in, *flat_ops)
+    elif v in ("tv3realk", "tv3realw"):
+        # Split the remaining ladder-vs-real gap (L6=25ms vs real=42ms):
+        #   tv3realk: the REAL _make_kernel_v3 kernel + the LADDER wrapper
+        #             (random operands in the real ref order). 42 ms here
+        #             => the kernel factory's tracing is the difference.
+        #   tv3realw: the REAL fused_temporal_stack_v3 wrapper with
+        #             _make_kernel_v3 monkeypatched to a ladder-style kernel.
+        #             42 ms here => the wrapper assembly is the difference.
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        import uplift_upsample_tpu.ops.pallas_temporal_v3 as ptv3
+        c, s, wpt = 384, 72, 4
+        r = wpt * s
+        hidden, heads, depth = 768, 8, 48
+        rng2 = np.random.default_rng(2)
+
+        def mk(*shape, dt=jnp.float32):
+            a = rng2.normal(size=shape).astype(np.float32) * 0.05
+            return jnp.asarray(a).astype(dt)
+
+        # operands in the REAL per-block ref order
+        flat_ops = []
+        for _ in range(4):
+            flat_ops += [mk(c, 1), mk(c, 1), mk(3 * c, c, dt=jnp.bfloat16),
+                         mk(3 * c, 1), mk(c, c, dt=jnp.bfloat16), mk(c, 1),
+                         mk(c, 1), mk(c, 1), mk(hidden, c, dt=jnp.bfloat16),
+                         mk(hidden, 1), mk(c, hidden, dt=jnp.bfloat16),
+                         mk(c, 1)]
+        blkdiag_np = np.full((r, r), -1e9, np.float32)
+        for w in range(wpt):
+            blkdiag_np[w * s:(w + 1) * s, w * s:(w + 1) * s] = 0.0
+        blkdiag = jnp.asarray(blkdiag_np)
+        pad_row_np = np.zeros((s,), np.float32)
+        pad_row_np[71:] = -1e9
+        padrow_tile = jnp.asarray(np.tile(pad_row_np, wpt))[None, :]
+        ones_row = jnp.ones((8, c), jnp.float32)
+
+        def fullspec(a):
+            return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                memory_space=pltpu.VMEM)
+
+        if v == "tv3realk":
+            kernel = ptv3._make_kernel_v3(
+                4, wpt, s, c, hidden, heads, 0, "relu",
+                jax.lax.Precision.DEFAULT, "full")
+
+            @jax.jit
+            def fn(t, *flat):
+                bb = t.shape[0]
+                xp = jnp.pad(t, ((0, 0), (0, s - 71), (0, 0)))
+                n_tiles = (bb * s) // r
+                x_t = xp.reshape(n_tiles, r, c).transpose(0, 2, 1)
+                row_spec = pl.BlockSpec((1, 1, r), lambda i: (i, 0, 0),
+                                        memory_space=pltpu.VMEM)
+                keyrow = jnp.broadcast_to(padrow_tile, (n_tiles, 1, r))
+                padrow_full = jnp.broadcast_to(padrow_tile, (n_tiles, 1, r))
+                out = pl.pallas_call(
+                    kernel,
+                    grid=(n_tiles,),
+                    in_specs=[pl.BlockSpec((1, c, r), lambda i: (i, 0, 0),
+                                           memory_space=pltpu.VMEM),
+                              fullspec(blkdiag), row_spec, row_spec,
+                              fullspec(ones_row)]
+                    + [fullspec(o) for o in flat],
+                    out_specs=pl.BlockSpec((1, c, r), lambda i: (i, 0, 0),
+                                           memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct((n_tiles, c, r),
+                                                   jnp.float32),
+                    compiler_params=pltpu.CompilerParams(
+                        vmem_limit_bytes=64 * 1024 * 1024),
+                )(x_t, blkdiag, keyrow, padrow_full, ones_row, *flat)
+                return out.transpose(0, 2, 1).reshape(bb, s, c)[:, :71]
+            sec = device_timer(fn, t_in, *flat_ops)
+        else:  # tv3realw
+            def ladder_factory(num_blocks, wpt_, s_, c_, hidden_, num_heads,
+                               first_masked_blocks, activation,
+                               precision=jax.lax.Precision.DEFAULT,
+                               attn_mode="full", num_epilogue_refs=0,
+                               epilogue=None, attn_precision=None,
+                               s2t=False, s2t_mode="full", presplit=False):
+                dflt = jax.lax.Precision.DEFAULT
+                dep = c_ // num_heads
+
+                def ln(x, gamma, beta):
+                    mu = jnp.mean(x, axis=0, keepdims=True)
+                    xc = x - mu
+                    var = jnp.mean(xc * xc, axis=0, keepdims=True)
+                    return xc / jnp.sqrt(var + 1e-5) * gamma + beta
+
+                def kernel(*refs):
+                    x_ref, bd_ref, kr_ref, pr_ref, ones_ref = refs[:5]
+                    o_ref = refs[-1]
+                    x = x_ref[0]
+                    for blk in range(num_blocks):
+                        (g1, b1_, wqkv, bqkv, wp, bp, g2, b2_, w1, bm1,
+                         w2, bm2) = refs[5 + 12 * blk: 5 + 12 * (blk + 1)]
+                        y = ln(x, g1[:], b1_[:])
+                        qkv = jax.lax.dot_general(
+                            wqkv[:].astype(jnp.float32), y,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=dflt) + bqkv[:]
+                        addmask = bd_ref[:] + pr_ref[0]
+                        ctx_parts = []
+                        for h in range(num_heads):
+                            qh = qkv[h * dep:(h + 1) * dep]
+                            kh = qkv[c_ + h * dep: c_ + (h + 1) * dep]
+                            vh = qkv[2 * c_ + h * dep: 2 * c_ + (h + 1) * dep]
+                            logits = jax.lax.dot_general(
+                                qh, kh, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=dflt) + addmask
+                            m = jnp.max(logits, axis=1, keepdims=True)
+                            ex = jnp.exp(logits - m)
+                            wgt = ex / jnp.sum(ex, axis=1, keepdims=True)
+                            ctx_parts.append(jax.lax.dot_general(
+                                vh, wgt, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=dflt))
+                        ctx = jnp.concatenate(ctx_parts, axis=0)
+                        x = x + jax.lax.dot_general(
+                            wp[:].astype(jnp.float32), ctx,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=dflt) + bp[:]
+                        z = ln(x, g2[:], b2_[:])
+                        z = jax.lax.dot_general(
+                            w1[:].astype(jnp.float32), z,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=dflt) + bm1[:]
+                        z = jnp.maximum(z, 0.0)
+                        z = jax.lax.dot_general(
+                            w2[:].astype(jnp.float32), z,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=dflt) + bm2[:]
+                        x = x + z
+                    o_ref[0] = x
+                return kernel
+
+            _, variables = build()
+            from uplift_upsample_tpu.ops.pallas_temporal import stack_temporal_params
+            stacked = stack_temporal_params(variables["params"], 4)
+            orig = ptv3._make_kernel_v3
+            ptv3._make_kernel_v3 = ladder_factory
+            try:
+                def fn(t):
+                    return ptv3.fused_temporal_stack_v3(
+                        t, stacked, None, num_blocks=4, num_heads=8,
+                        windows_per_tile=wpt, weights_dtype=jnp.bfloat16,
+                        attn_mode="full")
+                sec = device_timer(fn, t_in)
+            finally:
+                ptv3._make_kernel_v3 = orig
     elif v.startswith("bench_fwd"):
         # End-to-end fused bench path:
         #   bench_fwd[_v2][_sphigh3][_high3][_banded][_tiled][_twpt<N>]
