@@ -198,7 +198,23 @@ def main():
                          "nomlp": "nomlp", "banded": "banded"}[m]
         stacked = stack_temporal_params(variables["params"], 4)
 
-        if "_nojit" in v:
+        if "_nojitprepped" in v:
+            # BOTH deltas removed at once: undecorated wrapper + operands
+            # prepared outside the timed jit and passed as device args.
+            from uplift_upsample_tpu.ops.pallas_temporal_v3 import _transposed_operands
+            impl = fused_temporal_stack_v3.__wrapped__
+            ops = [jax.device_put(o) for o in _transposed_operands(
+                stacked, 4, wdtype, q_scale=1.0 / np.sqrt(384 // 8))]
+
+            def fn(t, *flat):
+                return impl(t, stacked, None, num_blocks=4, num_heads=8,
+                            first_masked_blocks=0, windows_per_tile=wpt,
+                            activation="relu", weights_dtype=wdtype,
+                            precision=jax.lax.Precision.DEFAULT,
+                            attn_mode=amode, token_pad_to=spad,
+                            prepped_ops=flat)
+            sec = device_timer(fn, t_in, *ops)
+        elif "_nojit" in v:
             # Call the undecorated implementation (no nested jit/closed_call)
             impl = fused_temporal_stack_v3.__wrapped__
 
@@ -687,7 +703,7 @@ def main():
             )(x_t, *fixed_args, *flat)
             return out.transpose(0, 2, 1).reshape(bb, s, c)[:, :71]
         sec = device_timer(fn, t_in, *flat_ops)
-    elif v in ("tv3realk", "tv3realw"):
+    elif v.startswith("tv3realk") or v == "tv3realw":
         # Split the remaining ladder-vs-real gap (L6=25ms vs real=42ms):
         #   tv3realk: the REAL _make_kernel_v3 kernel + the LADDER wrapper
         #             (random operands in the real ref order). 42 ms here
@@ -695,6 +711,16 @@ def main():
         #   tv3realw: the REAL fused_temporal_stack_v3 wrapper with
         #             _make_kernel_v3 monkeypatched to a ladder-style kernel.
         #             42 ms here => the wrapper assembly is the difference.
+        # Follow-ups (tv3realk measured 25.2 ms — kernel exonerated; these
+        # bisect the wrapper-side deltas one at a time on top of tv3realk):
+        #   tv3realk_nestjit: pallas-call fn is a nested @jax.jit called from
+        #             the timed jit (isolates jit nesting).
+        #   tv3realk_inprep: operands built INSIDE the jit from closed-over
+        #             stacked-layout arrays — slice/transpose/cast per call,
+        #             exactly _transposed_operands' work (isolates in-jit
+        #             operand prep).
+        #   tv3realk_const: blkdiag/padrow/ones built from np INSIDE the jit
+        #             (HLO literals, not closed-over device buffers).
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
         import uplift_upsample_tpu.ops.pallas_temporal_v3 as ptv3
@@ -728,28 +754,34 @@ def main():
             return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                                 memory_space=pltpu.VMEM)
 
-        if v == "tv3realk":
+        if v.startswith("tv3realk"):
             kernel = ptv3._make_kernel_v3(
                 4, wpt, s, c, hidden, heads, 0, "relu",
                 jax.lax.Precision.DEFAULT, "full")
 
-            @jax.jit
-            def fn(t, *flat):
+            def body(t, *flat):
                 bb = t.shape[0]
                 xp = jnp.pad(t, ((0, 0), (0, s - 71), (0, 0)))
                 n_tiles = (bb * s) // r
                 x_t = xp.reshape(n_tiles, r, c).transpose(0, 2, 1)
                 row_spec = pl.BlockSpec((1, 1, r), lambda i: (i, 0, 0),
                                         memory_space=pltpu.VMEM)
-                keyrow = jnp.broadcast_to(padrow_tile, (n_tiles, 1, r))
-                padrow_full = jnp.broadcast_to(padrow_tile, (n_tiles, 1, r))
+                if v == "tv3realk_const":
+                    # np-literal constants like the real wrapper builds
+                    bd = jnp.asarray(blkdiag_np)
+                    prt = jnp.asarray(np.tile(pad_row_np, wpt))[None, :]
+                    ones = jnp.ones((8, c), jnp.float32)
+                else:
+                    bd, prt, ones = blkdiag, padrow_tile, ones_row
+                keyrow = jnp.broadcast_to(prt, (n_tiles, 1, r))
+                padrow_full = jnp.broadcast_to(prt, (n_tiles, 1, r))
                 out = pl.pallas_call(
                     kernel,
                     grid=(n_tiles,),
                     in_specs=[pl.BlockSpec((1, c, r), lambda i: (i, 0, 0),
                                            memory_space=pltpu.VMEM),
-                              fullspec(blkdiag), row_spec, row_spec,
-                              fullspec(ones_row)]
+                              fullspec(bd), row_spec, row_spec,
+                              fullspec(ones)]
                     + [fullspec(o) for o in flat],
                     out_specs=pl.BlockSpec((1, c, r), lambda i: (i, 0, 0),
                                            memory_space=pltpu.VMEM),
@@ -757,9 +789,37 @@ def main():
                                                    jnp.float32),
                     compiler_params=pltpu.CompilerParams(
                         vmem_limit_bytes=64 * 1024 * 1024),
-                )(x_t, blkdiag, keyrow, padrow_full, ones_row, *flat)
+                )(x_t, bd, keyrow, padrow_full, ones, *flat)
                 return out.transpose(0, 2, 1).reshape(bb, s, c)[:, :71]
-            sec = device_timer(fn, t_in, *flat_ops)
+
+            if v == "tv3realk_nestjit":
+                inner = jax.jit(body)
+
+                def fn(t, *flat):
+                    return inner(t, *flat)
+                sec = device_timer(fn, t_in, *flat_ops)
+            elif v == "tv3realk_inprep":
+                # Closed-over arrays in the STACKED layout; slice/transpose/
+                # cast inside the timed jit, exactly like the real wrapper's
+                # _transposed_operands path (non-prepped).
+                stacked_like = {
+                    "ln1_g": mk(4, c), "ln1_b": mk(4, c),
+                    "wqkv": mk(4, c, 3 * c), "bqkv": mk(4, 3 * c),
+                    "wp": mk(4, c, c), "bp": mk(4, c),
+                    "ln2_g": mk(4, c), "ln2_b": mk(4, c),
+                    "w1": mk(4, c, hidden), "b1": mk(4, hidden),
+                    "w2": mk(4, hidden, c), "b2": mk(4, c),
+                }
+
+                def fn(t):
+                    ops = ptv3._transposed_operands(
+                        stacked_like, 4, jnp.bfloat16,
+                        q_scale=1.0 / np.sqrt(depth))
+                    return body(t, *ops)
+                sec = device_timer(fn, t_in)
+            else:
+                fn = jax.jit(body)
+                sec = device_timer(fn, t_in, *flat_ops)
         else:  # tv3realw
             def ladder_factory(num_blocks, wpt_, s_, c_, hidden_, num_heads,
                                first_masked_blocks, activation,
