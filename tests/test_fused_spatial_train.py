@@ -138,6 +138,45 @@ def test_pallas_bwd_kernel_vs_xla_vjp():
 
 
 @pytest.mark.slow
+def test_pallas_bwd_hpack_matches_fma():
+    """attn="hpack" backward (head-packed lanes) == the per-head "fma"
+    backward — identical math, only the vector-op packing differs."""
+    from uplift_upsample_tpu.ops.pallas_spatial import stack_spatial_params
+    from uplift_upsample_tpu.ops.pallas_spatial_bwd import fused_spatial_stack_bwd
+
+    config = _config()
+    model = build_uplift_upsample_transformer(config)
+    params = init_model_params(model, seed=5)["params"]
+    stacked = stack_spatial_params(params, model.spatial_depth)
+
+    rng = np.random.default_rng(17)
+    f = 128
+    x_t = jnp.asarray(rng.normal(size=(17, 2, f)).astype(np.float32) * 0.3)
+    g = jnp.asarray(rng.normal(size=(17, model.spatial_d_model, f))
+                    .astype(np.float32))
+    two_l = 2 * model.spatial_depth
+    keep = (rng.uniform(size=(two_l, f)) > 0.25).astype(np.float32) / 0.75
+    dps = jnp.asarray(keep)
+
+    with pltpu.force_tpu_interpret_mode():
+        ds_f, dx_f, ddp_f = fused_spatial_stack_bwd(
+            x_t, stacked, dps, g, num_blocks=model.spatial_depth,
+            num_heads=model.num_heads, attn="fma")
+        ds_h, dx_h, ddp_h = fused_spatial_stack_bwd(
+            x_t, stacked, dps, g, num_blocks=model.spatial_depth,
+            num_heads=model.num_heads, attn="hpack")
+
+    np.testing.assert_allclose(np.asarray(dx_h), np.asarray(dx_f),
+                               atol=1e-6, rtol=1e-6, err_msg="dx")
+    np.testing.assert_allclose(np.asarray(ddp_h), np.asarray(ddp_f),
+                               atol=1e-6, rtol=1e-6, err_msg="ddp")
+    for name in ds_f:
+        np.testing.assert_allclose(np.asarray(ds_h[name]),
+                                   np.asarray(ds_f[name]),
+                                   atol=1e-6, rtol=1e-6, err_msg=name)
+
+
+@pytest.mark.slow
 def test_fused_train_grads_high3_rung():
     """TRAIN_MATMUL_PRECISION='high' (bf16x3 fwd+bwd): gradients must track
     the flax f32 reference to bf16x3 accuracy (~2^-16 relative) — the rung

@@ -58,3 +58,26 @@ def test_fused_spatial_stack_matches_model(fixture_case):
                                atol=2e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(full_f), np.asarray(full_ref),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_hpack_attention_matches_fma(fixture_case):
+    """attn="hpack" (head-packed lanes: all heads' logits/softmax/ctx FMAs in
+    one lane-packed set) is the same math as the per-head "fma" loops —
+    element-for-element, only the op packing differs."""
+    model, variables, data = fixture_case
+    x = jnp.asarray(data["x_masked"])
+
+    import jax as _jax
+    with pltpu.force_tpu_interpret_mode():
+        sp_fma = spatial_stack_apply(variables["params"], x,
+                                     num_blocks=model.spatial_depth,
+                                     num_heads=model.num_heads, block_f=8,
+                                     precision=_jax.lax.Precision.HIGHEST,
+                                     attn="fma")
+        sp_hp = spatial_stack_apply(variables["params"], x,
+                                    num_blocks=model.spatial_depth,
+                                    num_heads=model.num_heads, block_f=8,
+                                    precision=_jax.lax.Precision.HIGHEST,
+                                    attn="hpack")
+    np.testing.assert_allclose(np.asarray(sp_hp), np.asarray(sp_fma),
+                               atol=1e-6, rtol=1e-6)

@@ -263,6 +263,22 @@ def _traj_config(case):
                                 "staircase": True},
             "EMA_ENABLED": True, "EMA_DECAY": 0.999,
         })
+    elif case == "traj_h81_long":
+        # 200-step h36m_81-like case (tools/make_trajectory_fixture.py
+        # MODEL_KWARGS_H81): padded first strided block, learnable masked
+        # token, AdamW + two-tier ExponentialDecayWithSteps for BOTH lr and
+        # decoupled wd (large-decay boundary at step 120), EMA throughout.
+        config.update_from({
+            "SEQUENCE_LENGTH": 11, "STRIDES": [4, 3],
+            "PADDINGS": [[1, 1], [0, 0]], "LEARNABLE_MASKED_TOKEN": True,
+            "OPTIMIZER": "AdamW", "OPTIMIZER_PARAMS": {},
+            "WEIGHT_DECAY": 1e-4, "SCHEDULE": "ExponentialDecayWithSteps",
+            "SCHEDULE_PARAMS": {"initial_learning_rate": 1e-3,
+                                "decay_steps": 20, "decay_rate": 0.9,
+                                "large_decay_steps": 120,
+                                "large_decay_rate": 0.3},
+            "EMA_ENABLED": True, "EMA_DECAY": 0.999,
+        })
     else:
         config.update_from({
             "OPTIMIZER": "Adam",
@@ -277,7 +293,8 @@ def _traj_config(case):
     return config
 
 
-@pytest.mark.parametrize("case", ["traj_adamw", "traj_adam_ams"])
+@pytest.mark.parametrize("case", ["traj_adamw", "traj_adam_ams",
+                                  "traj_h81_long"])
 def test_trajectory_parity_vs_reference(case):
     """Multi-step TRAINING TRAJECTORY parity vs the reference loop.
 
@@ -309,7 +326,7 @@ def test_trajectory_parity_vs_reference(case):
                        ema_params=ema, step=jnp.zeros([], jnp.int32))
     step = make_train_step(model, tx, config, dataset_name="h36m")
 
-    b, n = 4, 9
+    b, n = 4, config.SEQUENCE_LENGTH
     losses = []
     for s in range(steps):
         # schedule pins: evaluated at the pre-increment step like keras
@@ -328,8 +345,11 @@ def test_trajectory_parity_vs_reference(case):
         state, loss = step(state, batch)
         losses.append(float(loss))
 
-    # Per-step loss curve: f32 TF vs JAX CPU accumulation-order drift only.
-    np.testing.assert_allclose(losses, data["losses"], rtol=3e-4, atol=1e-5)
+    # Per-step loss curve: f32 TF vs JAX CPU accumulation-order drift only
+    # (the 200-step case accumulates ~3x more of it than the 30/40-step ones).
+    loss_rtol = 1e-3 if steps > 100 else 3e-4
+    np.testing.assert_allclose(losses, data["losses"], rtol=loss_rtol,
+                               atol=1e-5)
 
     def assert_weights_close(ours, ref_h5, what):
         ref = load_keras_h5(ref_h5, model)["params"]

@@ -90,6 +90,19 @@ LOSS_WEIGHT_SEQUENCE = 2.0
 ROOT_KEYPOINT = 0
 B = 4
 
+# h36m_81-like geometry for the long-horizon case (config/h36m_81.json scaled
+# down): padded FIRST strided block (paddings [[1,1],…] — the h81 signature,
+# identity path cropped/ZeroPad1D'd differently from the pad-0 flagship),
+# learnable masked token, EMA on. 11 →(s4,p[1,1])→ 3 →(s3,p0)→ 1.
+MODEL_KWARGS_H81 = dict(
+    full_output=True, num_frames=11, num_keypoints=17,
+    spatial_d_model=16, temporal_d_model=32, spatial_depth=2, temporal_depth=2,
+    strides=[4, 3], paddings=[[1, 1], [0, 0]], num_heads=4, mlp_ratio=2.0,
+    qkv_bias=True, attn_drop_rate=0.0, drop_rate=0.0,
+    drop_path_rate=[0.0, 0.0, 0.0], output_bn=False, has_strided_input=True,
+    first_strided_token_attention_layer=1, token_mask_rate=0.0,
+    learnable_masked_token=True)
+
 
 class ExponentialDecayWithSteps(tf_keras.optimizers.schedules.LearningRateSchedule):
     """Reference two-tier staircase (schedules.py:36-99): a small decay every
@@ -116,12 +129,12 @@ class ExponentialDecayWithSteps(tf_keras.optimizers.schedules.LearningRateSchedu
                 * tf.pow(tf.cast(self.large_decay_rate, dtype), large_p))
 
 
-def make_stream(seed, steps):
+def make_stream(seed, steps, model_kwargs):
     """Deterministic synthetic (2d, 3d, stride_mask) stream, shaped like the
     generator output; stride-mask period varies per step (from {2,3,4}) and
     the central frame is always real (generator invariant)."""
     rng = np.random.default_rng(seed)
-    n, k = MODEL_KWARGS["num_frames"], MODEL_KWARGS["num_keypoints"]
+    n, k = model_kwargs["num_frames"], model_kwargs["num_keypoints"]
     kp2d = rng.normal(size=(steps, B, n, k, 2)).astype(np.float32) * 0.5
     kp3d = rng.normal(size=(steps, B, n, k, 3)).astype(np.float32) * 0.4
     sm = np.zeros((steps, B, n), bool)
@@ -135,12 +148,13 @@ def make_stream(seed, steps):
 
 
 def run_case(case, steps, optimizer_name, lr_schedule, wd_schedule=None,
-             amsgrad=False, ema_decay_cap=None, seed=20260819):
+             amsgrad=False, ema_decay_cap=None, seed=20260819,
+             model_kwargs=MODEL_KWARGS):
     tf_keras.backend.clear_session()
     tf.random.set_seed(seed)
-    model = UpliftUpsampleTransformer(**MODEL_KWARGS)
-    n, k = MODEL_KWARGS["num_frames"], MODEL_KWARGS["num_keypoints"]
-    kp2d, kp3d, sm = make_stream(seed, steps)
+    model = UpliftUpsampleTransformer(**model_kwargs)
+    n, k = model_kwargs["num_frames"], model_kwargs["num_keypoints"]
+    kp2d, kp3d, sm = make_stream(seed, steps, model_kwargs)
 
     # Build variables with one forward pass, then save the INITIAL weights.
     _ = model([tf.constant(kp2d[0] * sm[0][:, :, None, None]),
@@ -239,6 +253,22 @@ def main():
             1e-3, decay_steps=6, decay_rate=0.7,
             large_decay_steps=15, large_decay_rate=0.5),
         amsgrad=True)
+
+    # Case 3 (long horizon, h36m_81-like geometry): 200 steps, AdamW with
+    # decoupled scheduled wd where BOTH schedules are the two-tier
+    # ExponentialDecayWithSteps crossing the LARGE-decay boundary at step 120
+    # (plus 9 small boundaries), EMA on throughout, padded first strided
+    # block + learnable masked token. Pins the full optimizer/EMA semantics
+    # over a horizon 5x the short cases (VERDICT r3 item 4).
+    run_case(
+        "traj_h81_long", steps=200, optimizer_name="AdamW",
+        lr_schedule=ExponentialDecayWithSteps(
+            1e-3, decay_steps=20, decay_rate=0.9,
+            large_decay_steps=120, large_decay_rate=0.3),
+        wd_schedule=ExponentialDecayWithSteps(
+            1e-4, decay_steps=20, decay_rate=0.9,
+            large_decay_steps=120, large_decay_rate=0.3),
+        ema_decay_cap=0.999, model_kwargs=MODEL_KWARGS_H81)
 
 
 if __name__ == "__main__":

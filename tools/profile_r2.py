@@ -101,11 +101,13 @@ def main():
             if v.endswith("_" + m):
                 bisect = {"logitsonly": "logits_only",
                           "softmaxonly": "softmax_only"}.get(m, m)
+        attn = "hpack" if "_hpack" in v else "fma"
 
         def fn(x):
             return spatial_stack_apply(variables["params"], x, num_blocks=4,
                                        num_heads=8, precision=prec,
-                                       block_f=block_f, bisect=bisect)
+                                       block_f=block_f, bisect=bisect,
+                                       attn=attn)
         sec = device_timer(fn, x)
     elif v.startswith("tail_"):
         model, variables = build("float32" if v == "tail_f32" else "bfloat16")

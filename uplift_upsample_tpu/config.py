@@ -212,6 +212,10 @@ class UpliftUpsampleConfig(Config):
     # regresses (21.6 ms — VMEM pressure). Per-frame math is block_f-
     # invariant; only the param-grad partial-sum order changes.
     TRAIN_SPATIAL_BLOCK_F = 256
+    # Attention packing in the fused spatial TRAIN kernels ("fma" | "hpack").
+    # "hpack" lane-packs all heads' attention FMAs into one rank-3 set
+    # (identical math, ~8x fewer vector-op issues) — flip after on-chip A/B.
+    TRAIN_SPATIAL_ATTN = "fma"
     # Fused Pallas temporal blocks in training (Pallas fwd + hand-written
     # bwd, ops/pallas_temporal_bwd.py). Gradient-parity tested; measured
     # 79.8 ms/step vs 82.2 spatial-only at B=512. "auto" follows
@@ -288,6 +292,16 @@ class UpliftUpsampleConfig(Config):
     # uniques; each extra sequence restart inside a batch adds ≤ N - 1).
     # Batches exceeding the capacity fall back to the dense step.
     EVAL_SHARED_UMAX_EXTRA = 1024
+    # Batched flip-TTA: run the flipped test-time-augmentation pass inside
+    # the SAME forward as the unflipped one (one concatenated 2B-window /
+    # 2U-unique-frame batch) instead of a second full forward. Exact to
+    # reassociation (tests/test_parallel.py::test_tta_batched_matches_two_call)
+    # and measured throughput-neutral (TTA is pure incremental compute,
+    # PERF_NOTES round-6) — kept on because one compiled graph halves the
+    # eval compile count and per-step dispatches. NOTE: doubles the
+    # per-forward activation footprint at unchanged BATCH_SIZE; on
+    # memory-tight devices set False (two-call path) or halve BATCH_SIZE.
+    EVAL_TTA_BATCHED = True
     # Device-resident train feed ("auto" | bool): upload the concatenated
     # pose store(s) to the device once and materialize window batches inside
     # the jitted train step from per-row plans (gather indices + masks +

@@ -220,6 +220,41 @@ def _make_kernel(num_blocks: int, p_tokens: int, c: int, hidden: int,
             ctx_heads.append(ctx_h)
         return jnp.concatenate(ctx_heads, axis=1)  # (P, C, bt)
 
+    def attention_hpack(q, k, v):
+        # Head-packed LANES: all 8 heads' rank-3 FMAs fused into one set by
+        # packing heads onto the lane axis (lane index = h·bt + t). Identical
+        # element counts to the per-head loops, ~5x fewer vector-op issues
+        # (the spatial kernel is issue-bound — PERF_NOTES stage decomposition).
+        # q/k/v: (P, C, bt) → packed (P, depth, H·bt) via 8 lane-offset
+        # copies per tensor (lane concat is cheap; bt is a 128-multiple).
+        bt = q.shape[-1]
+
+        def pack(x):
+            return jnp.concatenate(
+                [x[:, h * depth:(h + 1) * depth, :] for h in range(num_heads)],
+                axis=-1)  # (P, depth, H·bt)
+
+        qp, kp, vp = pack(q), pack(k), pack(v)
+        logits = None
+        for d in range(depth):
+            qd = qp[:, d, :][:, None, :]   # (P, 1, H·bt)
+            kd = kp[:, d, :][None, :, :]   # (1, P, H·bt)
+            contrib = qd * kd
+            logits = contrib if logits is None else logits + contrib
+        # softmax over keys (axis 1) for all heads at once
+        m = jnp.max(logits, axis=1, keepdims=True)
+        w = jnp.exp(logits - m)                      # (P, P, H·bt)
+        denom = jnp.sum(w, axis=1, keepdims=True)    # (P, 1, H·bt)
+        ctx = None
+        for kk in range(p_tokens):
+            piece = w[:, kk, :][:, None, :] * vp[kk][None, :, :]
+            ctx = piece if ctx is None else ctx + piece  # (P, depth, H·bt)
+        ctx = ctx / denom
+        # unpack lanes back to channels: (P, depth, H·bt) → (P, C, bt)
+        return jnp.concatenate(
+            [ctx[:, :, h * bt:(h + 1) * bt] for h in range(num_heads)],
+            axis=1)
+
     def attention_batched(qT, kT, vT):
         # Head-batched 4D FMAs: q/k/v in T-layout (H, D, P, bt). 21 vector
         # ops instead of ~170: logits for ALL heads via `depth` rank-4 FMAs
@@ -282,6 +317,8 @@ def _make_kernel(num_blocks: int, p_tokens: int, c: int, hidden: int,
                     continue
                 if bisect == "noattn":
                     ctx = v
+                elif attn == "hpack":
+                    ctx = attention_hpack(q, k, v)  # (P, C, bt)
                 else:
                     ctx = attention_fma(q, k, v)  # (P, C, bt)
 
@@ -402,7 +439,8 @@ def fused_spatial_stack(x_t: jax.Array, stacked: Dict, *, num_blocks: int,
 
 def spatial_stack_apply(params: Dict, x2d: jax.Array, *, num_blocks: int,
                         num_heads: int, block_f: int = 128,
-                        precision=HIGH3, bisect: str = "full") -> jax.Array:
+                        precision=HIGH3, bisect: str = "full",
+                        attn: str = "fma") -> jax.Array:
     """(B, N, P, 2) masked keypoints → (B, N, P·C) spatial output.
 
     Drop-in replacement for the model's spatial_transformation +
@@ -421,7 +459,8 @@ def spatial_stack_apply(params: Dict, x2d: jax.Array, *, num_blocks: int,
     stacked = stack_spatial_params(params, num_blocks)
     y = fused_spatial_stack(x_t, stacked, num_blocks=num_blocks,
                             num_heads=num_heads, block_f=block_f,
-                            precision=precision, bisect=bisect)  # (P, C, F_pad)
+                            precision=precision, bisect=bisect,
+                            attn=attn)  # (P, C, F_pad)
     c = y.shape[1]
     return y[:, :, :f].transpose(2, 0, 1).reshape(b, n, p * c)
 
@@ -539,11 +578,11 @@ def _xla_spatial_stack(stacked: Dict, x_t: jax.Array, droppath_scales,
 SPATIAL_BWD_IMPL = "pallas"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def fused_spatial_train(stacked: Dict, x_t: jax.Array, droppath_scales,
                         num_blocks: int, num_heads: int,
                         precision=jax.lax.Precision.HIGHEST,
-                        block_f: int = 128):
+                        block_f: int = 128, attn: str = "fma"):
     """Fused Pallas forward with a hand-written Pallas backward.
 
     stacked: stack_spatial_params output; x_t: (P, 2, F);
@@ -560,21 +599,26 @@ def fused_spatial_train(stacked: Dict, x_t: jax.Array, droppath_scales,
     f = x_t.shape[-1]
     while block_f > 128 and f % block_f:
         block_f //= 2
+    # Non-power-of-two block_f (e.g. 384) can shrink below 128 without ever
+    # dividing f; clamp to the always-legal 128 (f itself is 128-aligned).
+    block_f = max(block_f, 128)
+    if f % block_f:
+        block_f = 128
     return fused_spatial_stack(x_t, stacked, num_blocks=num_blocks,
                                num_heads=num_heads,
                                precision=precision,
                                droppath_scales=droppath_scales,
-                               block_f=block_f)
+                               block_f=block_f, attn=attn)
 
 
 def _fst_fwd(stacked, x_t, droppath_scales, num_blocks, num_heads, precision,
-             block_f):
+             block_f, attn):
     out = fused_spatial_train(stacked, x_t, droppath_scales, num_blocks,
-                              num_heads, precision, block_f)
+                              num_heads, precision, block_f, attn)
     return out, (stacked, x_t, droppath_scales)
 
 
-def _fst_bwd(num_blocks, num_heads, precision, block_f, residuals, g):
+def _fst_bwd(num_blocks, num_heads, precision, block_f, attn, residuals, g):
     stacked, x_t, droppath_scales = residuals
 
     if SPATIAL_BWD_IMPL == "pallas":
@@ -588,7 +632,7 @@ def _fst_bwd(num_blocks, num_heads, precision, block_f, residuals, g):
             bf //= 2
         ds, dx, ddp = fused_spatial_stack_bwd(
             x_t, stacked, dps, g, num_blocks=num_blocks, num_heads=num_heads,
-            precision=precision, block_f=bf)
+            precision=precision, block_f=bf, attn=attn)
         return ds, dx, (None if droppath_scales is None else ddp)
 
     def ref(stacked, x_t, dps):

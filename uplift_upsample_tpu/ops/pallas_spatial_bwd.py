@@ -111,7 +111,8 @@ def _ln_bwd(dy, xhat, inv, gamma):
 
 
 def _make_bwd_kernel(num_blocks: int, p_tokens: int, c: int, hidden: int,
-                     num_heads: int, mlp_gelu: bool, precision):
+                     num_heads: int, mlp_gelu: bool, precision,
+                     attn: str = "fma"):
     depth = c // num_heads
     scale = np.float32(1.0 / float(depth) ** 0.5)
     fwd_dot, grad_dot = _make_dots(precision)
@@ -160,6 +161,65 @@ def _make_bwd_kernel(num_blocks: int, p_tokens: int, c: int, hidden: int,
             ctx_heads.append(ctx_h)
         return jnp.concatenate(ctx_heads, axis=1)
 
+    def _pack(x):
+        """(P, C, bt) → (P, depth, H·bt): heads onto the lane axis."""
+        return jnp.concatenate(
+            [x[:, h * depth:(h + 1) * depth, :] for h in range(num_heads)],
+            axis=-1)
+
+    def _unpack(x):
+        """(P, depth, H·bt) → (P, C, bt)."""
+        bt = x.shape[-1] // num_heads
+        return jnp.concatenate(
+            [x[:, :, h * bt:(h + 1) * bt] for h in range(num_heads)], axis=1)
+
+    def _attn_weights_hpack(qp, kp):
+        logits = None
+        for d in range(depth):
+            contrib = qp[:, d, :][:, None, :] * kp[:, d, :][None, :, :]
+            logits = contrib if logits is None else logits + contrib
+        logits = logits * scale
+        m = jnp.max(logits, axis=1, keepdims=True)
+        ex = jnp.exp(logits - m)
+        return ex / jnp.sum(ex, axis=1, keepdims=True)  # (P, P, H·bt)
+
+    def attention_fwd_hpack(q, k, v):
+        """Same math as attention_fwd with all heads' FMAs lane-packed
+        (pallas_spatial.attention_hpack) — ~8x fewer vector-op issues."""
+        qp, kp, vp = _pack(q), _pack(k), _pack(v)
+        attn = _attn_weights_hpack(qp, kp)
+        ctx = None
+        for kk in range(p_tokens):
+            piece = attn[:, kk, :][:, None, :] * vp[kk][None, :, :]
+            ctx = piece if ctx is None else ctx + piece  # (P, depth, H·bt)
+        return _unpack(ctx)
+
+    def attention_bwd_hpack(q, k, v, dctx):
+        """Head-packed-lanes version of attention_bwd (identical math)."""
+        qp, kp, vp, dctxp = _pack(q), _pack(k), _pack(v), _pack(dctx)
+        attn = _attn_weights_hpack(qp, kp)
+        # dA[q, kk] = sum_d dctx[q, d] * v[kk, d]
+        dattn = None
+        for d in range(depth):
+            contrib = dctxp[:, d, :][:, None, :] * vp[:, d, :][None, :, :]
+            dattn = contrib if dattn is None else dattn + contrib
+        # dv[kk, d] = sum_q attn[q, kk] * dctx[q, d]
+        dv = None
+        for qq in range(p_tokens):
+            piece = attn[qq][:, None, :] * dctxp[qq][None, :, :]
+            dv = piece if dv is None else dv + piece  # (P_k, depth, H·bt)
+        s = jnp.sum(dattn * attn, axis=1, keepdims=True)
+        dlogits = attn * (dattn - s) * scale  # (P_q, P_k, H·bt)
+        dq = None
+        for kk in range(p_tokens):
+            piece = dlogits[:, kk, :][:, None, :] * kp[kk][None, :, :]
+            dq = piece if dq is None else dq + piece
+        dk = None
+        for qq in range(p_tokens):
+            piece = dlogits[qq][:, None, :] * qp[qq][None, :, :]
+            dk = piece if dk is None else dk + piece
+        return _unpack(dq), _unpack(dk), _unpack(dv)
+
     def attention_bwd(q, k, v, dctx):
         """Recompute per-head softmax; return dq, dk, dv (each (P, C, bt))."""
         dq_heads, dk_heads, dv_heads = [], [], []
@@ -206,6 +266,12 @@ def _make_bwd_kernel(num_blocks: int, p_tokens: int, c: int, hidden: int,
         return (jnp.concatenate(dq_heads, axis=1),
                 jnp.concatenate(dk_heads, axis=1),
                 jnp.concatenate(dv_heads, axis=1))
+
+    if attn == "hpack":
+        attention_fwd = attention_fwd_hpack  # noqa: F811
+        attention_bwd = attention_bwd_hpack  # noqa: F811
+    else:
+        assert attn == "fma", attn
 
     def kernel(x_ref, g_ref, dp_ref,
                emb_w_ref, emb_b_ref, pe_ref,
@@ -336,12 +402,14 @@ _PARAM_ORDER = ["emb_w", "emb_b", "pe", "ln1_g", "ln1_b", "wq", "bq", "wk",
 
 
 @functools.partial(jax.jit, static_argnames=("num_blocks", "num_heads",
-                                             "mlp_gelu", "block_f", "precision"))
+                                             "mlp_gelu", "block_f",
+                                             "precision", "attn"))
 def fused_spatial_stack_bwd(x_t: jax.Array, stacked: Dict,
                             droppath_scales: jax.Array, g: jax.Array, *,
                             num_blocks: int, num_heads: int,
                             mlp_gelu: bool = True, block_f: int = 128,
-                            precision=jax.lax.Precision.HIGHEST):
+                            precision=jax.lax.Precision.HIGHEST,
+                            attn: str = "fma"):
     """VJP of `fused_spatial_stack` w.r.t. (stacked, x_t, droppath_scales).
 
     x_t: (P, 2, F); droppath_scales: (2*num_blocks, F); g: (P, C, F) output
@@ -355,7 +423,7 @@ def fused_spatial_stack_bwd(x_t: jax.Array, stacked: Dict,
     two_l = 2 * num_blocks
 
     kernel = _make_bwd_kernel(num_blocks, p_tokens, c, hidden, num_heads,
-                              mlp_gelu, precision)
+                              mlp_gelu, precision, attn=attn)
 
     def full(shape):
         nd = len(shape)

@@ -181,6 +181,10 @@ def make_loss_fn(model, config: UpliftUpsampleConfig, dataset_name: str = "h36m"
     # amortize the per-grid-step floor (PERF_NOTES round-6 decomposition —
     # the kernel is floor-bound at the sparse budget).
     sp_block_f = int(getattr(config, "TRAIN_SPATIAL_BLOCK_F", 128) or 128)
+    # Attention packing inside the fused spatial kernels ("fma" per-head
+    # rank-3 loops | "hpack" head-packed lanes — identical math, ~8x fewer
+    # vector-op issues; see ops/pallas_spatial.attention_hpack).
+    sp_attn = str(getattr(config, "TRAIN_SPATIAL_ATTN", "fma") or "fma")
     # Fused Pallas temporal blocks in training (custom VJP fwd+bwd,
     # ops/pallas_temporal_bwd.py). Same eligibility rules.
     tft = getattr(config, "TRAIN_FUSED_TEMPORAL", "auto")
@@ -339,7 +343,8 @@ def make_loss_fn(model, config: UpliftUpsampleConfig, dataset_name: str = "h36m"
                                               frames)[:, order]
                 y = fused_spatial_train(stacked, x_t, scales,
                                         model.spatial_depth, model.num_heads,
-                                        sp_train_prec, sp_block_f)
+                                        sp_train_prec, sp_block_f,
+                                        sp_attn)
                 inv = (jnp.cumsum(flat_sm.astype(jnp.int32)) - 1).clip(0)
                 sp = y.transpose(2, 0, 1).reshape(
                     kf_budget, pp * model.spatial_d_model)[inv]
@@ -358,7 +363,8 @@ def make_loss_fn(model, config: UpliftUpsampleConfig, dataset_name: str = "h36m"
                                               frames + pad)
                 y = fused_spatial_train(stacked, x_t, scales,
                                         model.spatial_depth, model.num_heads,
-                                        sp_train_prec, sp_block_f)
+                                        sp_train_prec, sp_block_f,
+                                        sp_attn)
                 sp = y[:, :, :frames].transpose(2, 0, 1).reshape(
                     bb, nn_, pp * model.spatial_d_model)
             if fused_temporal:

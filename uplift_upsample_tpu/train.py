@@ -214,7 +214,21 @@ def train_and_validate(config: UpliftUpsampleConfig, out_dir, dataset_name="h36m
         assert latest is not None, "Cant find checkpoint to continue training"
         log(f"Restoring checkpoint from epoch {latest}")
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, state)
-        state = mngr.restore(latest, args=ocp.args.StandardRestore(abstract))
+        try:
+            state = mngr.restore(latest,
+                                 args=ocp.args.StandardRestore(abstract))
+        except (ValueError, KeyError) as e:
+            # Checkpoint-format break (round 3): TrainState gained loss_sum
+            # and the optimizer state switched to ScaleByKerasAdamState (the
+            # Keras-exact Adam transforms) — checkpoints written before that
+            # change have a different pytree structure and cannot be resumed.
+            raise RuntimeError(
+                f"Checkpoint at epoch {latest} does not match the current "
+                f"TrainState structure. Checkpoints written before the "
+                f"round-3 format change (TrainState.loss_sum + "
+                f"ScaleByKerasAdamState optimizer state) are not resumable; "
+                f"restart training or export weights via the .h5 path and "
+                f"use --weights. Original error: {e}") from e
         initial_epoch = latest + 1
         log(f"Will continue training from epoch {initial_epoch}")
 
