@@ -198,6 +198,8 @@ def bench_train(args):
         "TRAIN_TEMPORAL_WPT": args.train_wpt,
         **({} if args.spatial_block_f is None
            else {"TRAIN_SPATIAL_BLOCK_F": args.spatial_block_f}),
+        **({} if args.train_spatial_attn is None
+           else {"TRAIN_SPATIAL_ATTN": args.train_spatial_attn}),
     })
     progress("building model + params (host prep on CPU backend)")
     with host_prep_device():
@@ -359,6 +361,11 @@ def main():
                         help="frames per grid step for the fused spatial "
                              "train kernels (default: the config's "
                              "TRAIN_SPATIAL_BLOCK_F = 256)")
+    parser.add_argument("--train-spatial-attn", default=None,
+                        choices=["fma", "hpack"],
+                        help="with --train: TRAIN_SPATIAL_ATTN packing for "
+                             "the fused spatial kernels (default: config's "
+                             "'fma'; 'hpack' = head-packed lanes)")
     parser.add_argument("--train-wpt", type=int, default=8,
                         help="with --train: TRAIN_TEMPORAL_WPT (windows per "
                              "temporal train-kernel tile)")

@@ -32,6 +32,13 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+# CPU backend alongside the accelerator: model init / param stacking are
+# hundreds of eager ops — minutes through the relay, seconds on host CPU
+# (same fix as bench.py; BENCH_r03 post-mortem in PERF_NOTES round-7).
+_platforms = jax.config.jax_platforms
+if _platforms and "cpu" not in _platforms.split(","):
+    jax.config.update("jax_platforms", _platforms + ",cpu")
+
 import jax.numpy as jnp  # noqa: E402
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -40,6 +47,14 @@ from uplift_upsample_tpu.config import UpliftUpsampleConfig  # noqa: E402
 from uplift_upsample_tpu.models import (build_uplift_upsample_transformer,  # noqa: E402
                                         init_model_params)
 from uplift_upsample_tpu.utils.profiling import device_timer  # noqa: E402
+
+
+def _host_prep():
+    try:
+        return jax.default_device(jax.local_devices(backend="cpu")[0])
+    except RuntimeError:
+        import contextlib
+        return contextlib.nullcontext()
 
 BENCH_KEYS = {
     "SEQUENCE_LENGTH": 71, "SEQUENCE_STRIDE": 5, "SPATIAL_EMBED_DIM": 32,
@@ -54,8 +69,11 @@ BENCH_KEYS = {
 def build(dtype="float32"):
     config = UpliftUpsampleConfig()
     config.update_from(dict(BENCH_KEYS, COMPUTE_DTYPE=dtype))
-    model = build_uplift_upsample_transformer(config)
-    variables = init_model_params(model, seed=0)
+    with _host_prep():
+        model = build_uplift_upsample_transformer(config)
+        variables = init_model_params(model, seed=0)
+    # Params transfer to the accelerator when the jitted probe consumes them
+    # (closure constants) — keep them host-side here.
     return model, variables
 
 

@@ -227,12 +227,23 @@ def _make_kernel(num_blocks: int, p_tokens: int, c: int, hidden: int,
         # (the spatial kernel is issue-bound — PERF_NOTES stage decomposition).
         # q/k/v: (P, C, bt) → packed (P, depth, H·bt) via 8 lane-offset
         # copies per tensor (lane concat is cheap; bt is a 128-multiple).
+        # Mosaic requires every concat input at sublane offset 0, but head
+        # slice h starts at sublane (h·depth) mod 8 — so slice each piece
+        # from a copy pre-rolled by that offset (one roll per distinct
+        # offset, e.g. one for depth=4).
         bt = q.shape[-1]
 
         def pack(x):
-            return jnp.concatenate(
-                [x[:, h * depth:(h + 1) * depth, :] for h in range(num_heads)],
-                axis=-1)  # (P, depth, H·bt)
+            rolled = {0: x}
+            pieces = []
+            for h in range(num_heads):
+                off = (h * depth) % 8
+                if off not in rolled:
+                    rolled[off] = pltpu.roll(x, x.shape[1] - off, axis=1)
+                base = rolled[off]
+                lo = h * depth - off
+                pieces.append(base[:, lo:lo + depth, :])
+            return jnp.concatenate(pieces, axis=-1)  # (P, depth, H·bt)
 
         qp, kp, vp = pack(q), pack(k), pack(v)
         logits = None

@@ -162,10 +162,21 @@ def _make_bwd_kernel(num_blocks: int, p_tokens: int, c: int, hidden: int,
         return jnp.concatenate(ctx_heads, axis=1)
 
     def _pack(x):
-        """(P, C, bt) → (P, depth, H·bt): heads onto the lane axis."""
-        return jnp.concatenate(
-            [x[:, h * depth:(h + 1) * depth, :] for h in range(num_heads)],
-            axis=-1)
+        """(P, C, bt) → (P, depth, H·bt): heads onto the lane axis.
+
+        Mosaic requires concat inputs at sublane offset 0; head slice h
+        starts at sublane (h·depth) mod 8, so slice from a pre-rolled copy
+        per distinct offset (see pallas_spatial.attention_hpack.pack)."""
+        rolled = {0: x}
+        pieces = []
+        for h in range(num_heads):
+            off = (h * depth) % 8
+            if off not in rolled:
+                rolled[off] = pltpu.roll(x, x.shape[1] - off, axis=1)
+            base = rolled[off]
+            lo = h * depth - off
+            pieces.append(base[:, lo:lo + depth, :])
+        return jnp.concatenate(pieces, axis=-1)
 
     def _unpack(x):
         """(P, depth, H·bt) → (P, C, bt)."""
