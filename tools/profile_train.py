@@ -208,6 +208,7 @@ def main():
             frames = int(min(frames_total, -(-want // 128) * 128))
             frames = -(-frames // 128) * 128  # kernel wants F % 128 == 0
         block_f = int(os.environ.get("PT_BLOCK_F", 128))
+        sp_attn = os.environ.get("PT_SPATIAL_ATTN", "fma")
         frames = -(-frames // block_f) * block_f  # tile-exact for the sweep
         print(f"# frames={frames} (dense {frames_total}) block_f={block_f}",
               file=sys.stderr)
@@ -224,7 +225,8 @@ def main():
 
         def fwd_loss(stacked_p, x):
             y = fused_spatial_train(stacked_p, x, scales, d,
-                                    model.num_heads, prec, block_f)
+                                    model.num_heads, prec, block_f,
+                                    attn=sp_attn)
             return jnp.sum(y * 1e-3)
 
         grad_fn = jax.value_and_grad(fwd_loss, argnums=(0, 1))
