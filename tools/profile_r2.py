@@ -217,6 +217,13 @@ def main():
                          "softmaxonly": "softmax_only", "qkvonly": "qkvonly",
                          "nomlp": "nomlp", "banded": "banded"}[m]
         stacked = stack_temporal_params(variables["params"], 4)
+        if "_randvals" in v:
+            # Matrix cell: the REAL wrapper with RANDOM operand values (same
+            # shapes/dtypes). 25 ms here => trained values cause the 42 ms.
+            rng_rv = np.random.default_rng(7)
+            stacked = {k: jnp.asarray(
+                rng_rv.normal(size=np.shape(a)).astype(np.float32) * 0.05)
+                for k, a in stacked.items()}
 
         if "_nojitprepped" in v:
             # BOTH deltas removed at once: undecorated wrapper + operands
@@ -741,6 +748,17 @@ def main():
         #             operand prep).
         #   tv3realk_const: blkdiag/padrow/ones built from np INSIDE the jit
         #             (HLO literals, not closed-over device buffers).
+        # Round-8 (tools/hlo_diff_temporal.py proved the 42 ms and 25 ms
+        # programs are IDENTICAL StableHLO with byte-identical Mosaic
+        # payloads — so the gap must live in the ARGUMENT ARRAYS):
+        #   tv3realk_realvals: trained values via the real _transposed_
+        #             operands EAGER path (device arrays produced by on-TPU
+        #             transpose/concat/cast, like nojitprepped feeds them).
+        #             42 ms => argument values or eager-array layouts cause it.
+        #   tv3realk_realvals_np: same trained values round-tripped through
+        #             host numpy (fresh default-layout uploads). 42 ms =>
+        #             VALUES; 25 ms (with realvals at 42) => eager-array
+        #             LAYOUT is the cause.
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
         import uplift_upsample_tpu.ops.pallas_temporal_v3 as ptv3
@@ -761,6 +779,19 @@ def main():
                          mk(c, 1), mk(c, 1), mk(hidden, c, dt=jnp.bfloat16),
                          mk(hidden, 1), mk(c, hidden, dt=jnp.bfloat16),
                          mk(c, 1)]
+        if "_realvals" in v:
+            from uplift_upsample_tpu.ops.pallas_temporal import stack_temporal_params
+            _, variables = build()
+            stacked_real = stack_temporal_params(variables["params"], 4)
+            flat_ops = list(ptv3._transposed_operands(
+                stacked_real, 4, jnp.bfloat16,
+                q_scale=1.0 / np.sqrt(depth)))
+            if v.endswith("_np"):
+                # host numpy round-trip: fresh default-layout uploads
+                flat_ops = [jnp.asarray(np.asarray(o)) for o in flat_ops]
+            else:
+                # eager-computed device arrays, exactly as nojitprepped feeds
+                flat_ops = [jax.device_put(o) for o in flat_ops]
         blkdiag_np = np.full((r, r), -1e9, np.float32)
         for w in range(wpt):
             blkdiag_np[w * s:(w + 1) * s, w * s:(w + 1) * s] = 0.0
