@@ -133,3 +133,21 @@ def test_report_summary_format():
         text = report.summary()
         assert "not consumed from .h5 file" in text
         assert not report.fully_matched
+
+
+def test_strict_load_rejects_wrong_geometry():
+    """A checkpoint from a different model geometry must fail AT LOAD with an
+    actionable message, not later with a broadcast error inside the forward
+    (reference fails at load via weight_io.py shape checks). Found by the
+    full-scale dress rehearsal: 71-frame h36m_351 weights into the 27-frame
+    default-config model loaded silently (shapes came from the file) and
+    crashed at `y + temporal_pe`."""
+    with tempfile.TemporaryDirectory() as tmp:
+        _, _, path = _make_checkpoint(tmp)  # 9-frame model
+        dst_model = UpliftUpsampleTransformer(**dict(BASE, num_frames=15))
+        with pytest.raises(ValueError, match="--config"):
+            load_keras_h5(path, dst_model)
+        # Same-geometry load still passes validation.
+        ok_model = UpliftUpsampleTransformer(**BASE)
+        loaded = load_keras_h5(path, ok_model)
+        assert loaded["params"]["temporal_pe"].shape[0] == 9

@@ -90,7 +90,7 @@ def run(extra_args=()):
     """Exec the full eval CLI sweep; record wall-clock + peak RSS."""
     assert os.path.exists(PATH_3D), "run --make-data first"
     cmd = [sys.executable, "-m", "uplift_upsample_tpu.eval",
-           "--weights", PATH_H5,
+           "--weights", PATH_H5, "--config", "h36m_351",
            "--dataset", PATH_3D, "--dataset_2d", PATH_2D,
            *extra_args]
     print("exec:", " ".join(cmd), flush=True)

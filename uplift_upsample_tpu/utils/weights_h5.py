@@ -316,7 +316,7 @@ def load_keras_h5_by_name(path: str, model: UpliftUpsampleTransformer,
 
 
 def load_keras_h5(path: str, model: UpliftUpsampleTransformer,
-                  transform=None) -> Dict:
+                  transform=None, validate: bool = True) -> Dict:
     """Strict read of a reference-format `.h5` checkpoint into flax variables.
 
     Returns `{"params": ..., "batch_stats": ...}` (batch_stats only when the
@@ -327,10 +327,63 @@ def load_keras_h5(path: str, model: UpliftUpsampleTransformer,
     `transform(path, value) -> value` is an optional per-weight hook applied
     to every loaded array, keyed by its flax path string — the counterpart of
     the reference's KerasWeightLoadingCallback (`weight_io.py:54-73`).
+
+    `validate` compares every loaded weight's shape against the model's
+    expected init shapes (`jax.eval_shape` — no FLOPs). Without it, shapes
+    come from the FILE, so a checkpoint from a different geometry (e.g.
+    71-frame h36m_351 weights into a 27-frame default-config model) loads
+    silently and fails much later with an obscure broadcast error inside the
+    forward. The reference fails at load time instead (`weight_io.py`
+    shape checks) — match that with an actionable error.
     """
     variables, _ = load_keras_h5_by_name(path, model, template=None,
                                          transform=transform, verbose=False)
+    if validate:
+        _validate_geometry(variables, model, path)
     return variables
+
+
+def _validate_geometry(variables: Dict, model: UpliftUpsampleTransformer,
+                       path: str) -> None:
+    import jax
+
+    from ..models.build import init_model_params
+
+    try:
+        expected = jax.eval_shape(lambda: init_model_params(model, seed=0))
+    except Exception as e:
+        raise ValueError(
+            f"{path}: cannot validate the checkpoint against this model — "
+            f"initializing the configured model fails "
+            f"({type(e).__name__}: {e}). The active config does not describe "
+            f"a buildable model; pass the config the checkpoint was trained "
+            f"with (e.g. --config h36m_351).") from e
+    mismatches = []
+
+    def walk(loaded, exp, prefix):
+        if isinstance(exp, dict):
+            for k, v in exp.items():
+                if isinstance(loaded, dict) and k in loaded:
+                    walk(loaded[k], v, f"{prefix}{k}/")
+            return
+        if loaded is None:
+            return
+        ls, es = tuple(np.shape(loaded)), tuple(exp.shape)
+        if ls != es:
+            mismatches.append((prefix.rstrip("/"), ls, es))
+
+    for coll in ("params", "batch_stats"):
+        if coll in variables and coll in expected:
+            walk(variables[coll], expected[coll], f"{coll}/")
+    if mismatches:
+        lines = "\n".join(f"- {n}: file {fs} vs model {ms}"
+                          for n, fs, ms in mismatches[:20])
+        raise ValueError(
+            f"{path} does not match the model geometry "
+            f"({len(mismatches)} weight shape clash(es)):\n{lines}\n"
+            f"The checkpoint was trained with a different configuration — "
+            f"pass the matching --config (e.g. h36m_351 for 71-frame "
+            f"released weights).")
 
 
 def _apply_transform(tree, transform, prefix):
