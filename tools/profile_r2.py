@@ -48,6 +48,44 @@ from uplift_upsample_tpu.models import (build_uplift_upsample_transformer,  # no
                                         init_model_params)
 from uplift_upsample_tpu.utils.profiling import device_timer  # noqa: E402
 
+if os.environ.get("PR2_DUMP_HLO"):
+    # Ground-truth mode: instead of timing, lower (and optionally compile)
+    # the EXACT loop device_timer would run at m=4 and dump the text for
+    # machine diffing (see PERF_NOTES round-8: the 42 vs 25 ms temporal
+    # mystery — StableHLO-identical reconstructions time differently, so
+    # the only way forward is dumping from the measured cells themselves).
+    from functools import partial as _partial
+
+    def device_timer(fn, *args, m_small: int = 4, m_large: int = 16,
+                     reps: int = 3):  # noqa: F811
+        tag = os.environ.get("PR2_DUMP_TAG", "cell")
+
+        @_partial(jax.jit, static_argnums=0)
+        def loop(m, *a):
+            def body(carry, _):
+                out = fn(a[0] + carry, *a[1:])
+                leaf = jax.tree.leaves(out)[0]
+                return (jnp.sum(leaf.ravel()[:1]) * 1e-20).astype(a[0].dtype), None
+
+            carry, _ = jax.lax.scan(body, jnp.zeros([], a[0].dtype), None,
+                                    length=m)
+            return carry
+
+        lowered = loop.lower(4, *args)
+        path = f"/tmp/hlo_meas_{tag}.mlir"
+        with open(path, "w") as f:
+            f.write(lowered.as_text())
+        print(f"[dump] lowered -> {path}", file=sys.stderr)
+        devs = [d.platform for d in jax.tree.leaves(args)[0].devices()]
+        print(f"[dump] arg0 device platforms: {devs}", file=sys.stderr)
+        if os.environ.get("PR2_DUMP_COMPILED"):
+            compiled = lowered.compile()
+            cpath = f"/tmp/hlo_meas_{tag}.compiled.txt"
+            with open(cpath, "w") as f:
+                f.write(compiled.as_text())
+            print(f"[dump] compiled -> {cpath}", file=sys.stderr)
+        return float("nan")
+
 
 def _host_prep():
     try:
@@ -135,7 +173,14 @@ def main():
             _, central = tail.apply(variables, sp, stride_mask=sm, training=False)
             return central
         sec = device_timer(fn, sp_out)
-    elif v.startswith("temporal4_") and not v.endswith("pallas"):
+    elif (v.startswith("temporal4_") and not v.endswith("pallas")
+          and not v.startswith(("temporal4_v2", "temporal4_v3"))):
+        # NOTE (round-8 post-mortem): this branch used to be a bare
+        # startswith("temporal4_") and SWALLOWED every temporal4_v2*/v3*
+        # variant — all historical "temporal4_v3_*" numbers (the entire
+        # "42 ms temporal floor" saga) actually measured THIS pure-XLA
+        # bf16 flax stack, never the v3 kernel. The real v3 kernel runs
+        # ~25 ms at B=2048 (see PERF_NOTES round-8 correction).
         dtype = "float32" if v.endswith("f32") else "bfloat16"
         model, variables = build(dtype)
 
@@ -217,6 +262,8 @@ def main():
                          "softmaxonly": "softmax_only", "qkvonly": "qkvonly",
                          "nomlp": "nomlp", "banded": "banded"}[m]
         stacked = stack_temporal_params(variables["params"], 4)
+        from uplift_upsample_tpu.ops.pallas_spatial import HIGH3 as _HIGH3
+        v3_prec = _HIGH3 if "_high3" in v else jax.lax.Precision.DEFAULT
         if "_randvals" in v:
             # Matrix cell: the REAL wrapper with RANDOM operand values (same
             # shapes/dtypes). 25 ms here => trained values cause the 42 ms.
@@ -290,6 +337,7 @@ def main():
                 return fused_temporal_stack_v3(t, stacked, None, num_blocks=4,
                                                num_heads=8, windows_per_tile=wpt,
                                                weights_dtype=wdtype,
+                                               precision=v3_prec,
                                                attn_mode=amode,
                                                token_pad_to=spad)
             sec = device_timer(fn, t_in)
