@@ -24,6 +24,20 @@ pytestmark = pytest.mark.skipif(
     not os.path.exists(os.path.join(SYNTH_DIR, "data_3d_h36m.npz")),
     reason="synthetic npz missing")
 
+def _free_port() -> int:
+    """OS-assigned free TCP port for the jax.distributed coordinator.
+
+    Hard-coded ports collide the moment two suite runs (or a concurrent
+    dryrun subprocess) overlap — the coordinator then aborts with a
+    "different incarnation" error. Binding port 0 and handing the resolved
+    port to the workers makes concurrent runs independent."""
+    import socket
+
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
 GEN_KWARGS = dict(seq_len=9, subsample=2, stride=5, padding_type="copy",
                   flip_augment=True, in_batch_augment=True,
                   mask_stride=[5, 10, 20], stride_mask_align_global=False,
@@ -178,7 +192,7 @@ def test_two_process_train_epoch(tmp_path):
     (2 virtual CPU devices each → global dp=4 mesh): multihost device feed,
     globally-sharded train steps, allgathered validation metrics, h5 export.
     Both processes must agree on the resulting metrics exactly."""
-    port = 23459
+    port = _free_port()
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
@@ -203,7 +217,7 @@ def test_two_process_train_epoch(tmp_path):
 
 
 def test_two_process_distributed_feed(tmp_path):
-    port = 23457
+    port = _free_port()
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"

@@ -84,7 +84,10 @@ if os.environ.get("PR2_DUMP_HLO"):
             with open(cpath, "w") as f:
                 f.write(compiled.as_text())
             print(f"[dump] compiled -> {cpath}", file=sys.stderr)
-        return float("nan")
+        # Valid-JSON result marker instead of the timing line: NaN ms would
+        # be invalid strict JSON and break downstream parsers (advisor, r4).
+        print(json.dumps({"dumped": path, "variant": tag}), flush=True)
+        sys.exit(0)
 
 
 def _host_prep():
@@ -262,7 +265,8 @@ def main():
                          "softmaxonly": "softmax_only", "qkvonly": "qkvonly",
                          "nomlp": "nomlp", "banded": "banded"}[m]
         stacked = stack_temporal_params(variables["params"], 4)
-        from uplift_upsample_tpu.ops.pallas_spatial import HIGH3 as _HIGH3
+        # Sentinel co-located with the kernel that consumes it (advisor, r4)
+        from uplift_upsample_tpu.ops.pallas_temporal_v3 import HIGH3 as _HIGH3
         v3_prec = _HIGH3 if "_high3" in v else jax.lax.Precision.DEFAULT
         if "_randvals" in v:
             # Matrix cell: the REAL wrapper with RANDOM operand values (same
@@ -284,7 +288,7 @@ def main():
                 return impl(t, stacked, None, num_blocks=4, num_heads=8,
                             first_masked_blocks=0, windows_per_tile=wpt,
                             activation="relu", weights_dtype=wdtype,
-                            precision=jax.lax.Precision.DEFAULT,
+                            precision=v3_prec,
                             attn_mode=amode, token_pad_to=spad,
                             prepped_ops=flat)
             sec = device_timer(fn, t_in, *ops)
@@ -296,7 +300,7 @@ def main():
                 return impl(t, stacked, None, num_blocks=4, num_heads=8,
                             first_masked_blocks=0, windows_per_tile=wpt,
                             activation="relu", weights_dtype=wdtype,
-                            precision=jax.lax.Precision.DEFAULT,
+                            precision=v3_prec,
                             attn_mode=amode, token_pad_to=spad)
             sec = device_timer(fn, t_in)
         elif "_prepped" in v:
@@ -312,6 +316,7 @@ def main():
                                                num_heads=8,
                                                windows_per_tile=wpt,
                                                weights_dtype=wdtype,
+                                               precision=v3_prec,
                                                attn_mode=amode,
                                                token_pad_to=spad,
                                                prepped_ops=flat)
@@ -329,6 +334,7 @@ def main():
                                                num_heads=8,
                                                windows_per_tile=wpt,
                                                weights_dtype=wdtype,
+                                               precision=v3_prec,
                                                attn_mode=amode,
                                                token_pad_to=spad)
             sec = device_timer(fn, t_in, *vals)

@@ -68,6 +68,24 @@ def make_sdot(prec_map):
             return (jnp.matmul(a_hi, b_hi, precision=hst)
                     + jnp.matmul(a_hi, b_lo, precision=hst)
                     + jnp.matmul(a_lo, b_hi, precision=hst))
+        if mode == "bf16x2w":
+            # 2-pass candidate rung: weights (b operand) split hi/lo,
+            # activations rounded ONCE — error is the activations' bf16
+            # rounding alone (~1/sqrt(2) of 1-pass, NOT squared like x3).
+            b_hi = _bf16(b)
+            b_lo = _bf16(b - b_hi)
+            a_r = _bf16(a)
+            hst = jax.lax.Precision.HIGHEST
+            return (jnp.matmul(a_r, b_hi, precision=hst)
+                    + jnp.matmul(a_r, b_lo, precision=hst))
+        if mode == "bf16x2a":
+            # symmetric candidate: activations split, weights rounded once
+            a_hi = _bf16(a)
+            a_lo = _bf16(a - a_hi)
+            b_r = _bf16(b)
+            hst = jax.lax.Precision.HIGHEST
+            return (jnp.matmul(a_hi, b_r, precision=hst)
+                    + jnp.matmul(a_lo, b_r, precision=hst))
         raise ValueError(mode)
 
     return sdot
@@ -208,7 +226,9 @@ def main():
     ap.add_argument("--mode", default="ladder",
                     choices=["validate", "ladder", "greedy", "config"])
     ap.add_argument("--sites", default="",
-                    help="config mode: comma list site=f32|bf16|bf16x3")
+                    help="config mode: comma list "
+                         "site=f32|bf16|bf16x3|bf16x2w|bf16x2a; "
+                         "'all=<mode>' sets every site")
     ap.add_argument("--target", type=float, default=0.5,
                     help="greedy mode: target mean drift (mm at fixture scale)")
     args = ap.parse_args()
@@ -234,6 +254,9 @@ def main():
 
     if args.mode == "config":
         assign = dict(kv.split("=") for kv in args.sites.split(",") if kv)
+        if "all" in assign:
+            mode_all = assign.pop("all")
+            assign = {**{s: mode_all for s in SITES}, **assign}
         mean, mx = drift(run(params, x, sm, cfg, assign), truth)
         print(json.dumps({"sites": assign, "mean_mm": round(mean, 4),
                           "max_mm": round(mx, 4)}))
