@@ -394,13 +394,21 @@ def main():
                         help="with --flip-tta: run the flipped pass as a "
                              "second full forward (the pre-round-3 path) "
                              "instead of one concatenated 2B-window batch")
+    parser.add_argument("--strided-sel", dest="strided_sel",
+                        action="store_true",
+                        help="enable the in-kernel strided-b1 output "
+                             "selection (kernel writes wpt*n_out selected "
+                             "lanes instead of the full (C, R)). Measured "
+                             "NEUTRAL vs the default XLA slice (-0.4%%, "
+                             "within noise — PERF_NOTES round-9), so the "
+                             "r04-proven path stays the default")
     parser.add_argument("--per-window", action="store_true",
                         help="report computed windows/sec as the metric "
                              "instead of protocol uplifted frames/sec "
                              "(= windows/sec x SEQUENCE_STRIDE)")
     parser.set_defaults(fused_spatial=True, shared_spatial=True,
                         train_fused=True, train_fused_temporal=True,
-                        tta_batched=True)
+                        tta_batched=True, strided_sel=False)
     args = parser.parse_args()
 
     if args.batch is None:
@@ -459,7 +467,7 @@ def main():
             max_keyframes=None if use_shared else max_kf,
             assume_dense_mask=period == 1, shared_spatial=use_shared,
             temporal_wpt=None if args.eval_wpt is None else int(args.eval_wpt),
-            tta_batched=args.tta_batched)
+            tta_batched=args.tta_batched, strided_sel=args.strided_sel)
 
     # Measurement notes for this environment: the PJRT relay makes
     # block_until_ready a no-op and adds ~5ms RPC per dispatch plus a large

@@ -322,6 +322,33 @@ def test_shared_spatial_padded_strides():
                                atol=2e-5, rtol=0)
 
 
+def test_bench_forward_strided_sel_matches_slice():
+    """strided_sel=True (in-kernel one-hot lane selection replacing the
+    epilogue's lane shifts + the caller's XLA stride slice) must match the
+    default path — same math re-expressed as selection dots (round-9;
+    measured perf-neutral on chip, kept off by default)."""
+    config = _flagship_small()
+    model = build_uplift_upsample_transformer(config)
+    variables = init_model_params(model, seed=29)
+
+    rng = np.random.default_rng(29)
+    b, n = 4, config.SEQUENCE_LENGTH
+    sm = jnp.asarray((np.arange(n) % 5 == 0))[None].repeat(b, axis=0)
+    x = jnp.asarray(rng.normal(size=(b, n, 17, 2)).astype(np.float32) * 0.3)
+    xm = x * sm[:, :, None, None].astype(x.dtype)
+
+    with pltpu.force_tpu_interpret_mode():
+        base = bench_forward(model, variables, xm, sm,
+                             spatial_precision=jax.lax.Precision.HIGHEST,
+                             temporal_precision=jax.lax.Precision.HIGHEST)
+        sel = bench_forward(model, variables, xm, sm,
+                            spatial_precision=jax.lax.Precision.HIGHEST,
+                            temporal_precision=jax.lax.Precision.HIGHEST,
+                            strided_sel=True)
+    np.testing.assert_allclose(np.asarray(sel), np.asarray(base),
+                               atol=2e-5, rtol=0)
+
+
 def test_resolve_temporal_wpt():
     """EVAL_TEMPORAL_WPT auto rule: 8 only when it lane-aligns R=wpt*s_pad
     to 128 and wpt=4 does not (h36m_81 s_pad=48 → 8; flagship s_pad=72 → 4;

@@ -61,7 +61,8 @@ def make_test_step(model, variables, flip_tta: bool, flip_lr_indices,
                    shared_spatial: bool = False,
                    temporal_wpt=None,
                    tta_batched: bool = True,
-                   mesh=None):
+                   mesh=None,
+                   strided_sel: bool = False):
     """Jitted forward step with optional fused flip-TTA.
 
     `fused` selects the eval compute path — THE one configuration shared by
@@ -136,7 +137,8 @@ def make_test_step(model, variables, flip_tta: bool, flip_lr_indices,
                     model, variables, unique2d, win_idx, stride_mask,
                     spatial_precision=sp_prec, temporal_precision=tm_prec,
                     stacked_temporal=stacked, temporal_wpt=temporal_wpt,
-                    assume_dense_mask=assume_dense_mask)
+                    assume_dense_mask=assume_dense_mask,
+                    strided_sel=strided_sel)
                 return None, central
         else:
             def forward(keypoints2d, stride_mask):
@@ -147,7 +149,8 @@ def make_test_step(model, variables, flip_tta: bool, flip_lr_indices,
                     model, variables, x, stride_mask, spatial_precision=sp_prec,
                     temporal_precision=tm_prec, stacked_temporal=stacked,
                     max_keyframes=max_keyframes, temporal_wpt=temporal_wpt,
-                    assume_dense_mask=assume_dense_mask)
+                    assume_dense_mask=assume_dense_mask,
+                    strided_sel=strided_sel)
                 return None, central
     elif fused in ("full", "spatial") and model.spatial_depth > 0:
         from .ops.pallas_spatial import HIGH3, spatial_stack_apply

@@ -127,7 +127,8 @@ def bench_forward(model: UpliftUpsampleTransformer, variables, x2d_masked,
                   stacked_temporal=None, temporal_impl: str = "v3",
                   temporal_wpt: int = 4, temporal_attn: str = "full",
                   temporal_attn_precision=None, fuse_s2t: bool = False,
-                  max_keyframes: int = None, assume_dense_mask: bool = False):
+                  max_keyframes: int = None, assume_dense_mask: bool = False,
+                  strided_sel: bool = False):
     """Central-frame output of the fused eval path.
 
     x2d_masked: (B, N, 17, 2) already masked at non-keyframes;
@@ -213,13 +214,14 @@ def bench_forward(model: UpliftUpsampleTransformer, variables, x2d_masked,
                      temporal_impl=temporal_impl, temporal_attn=temporal_attn,
                      temporal_attn_precision=temporal_attn_precision,
                      eff_wpt=eff_wpt, fuse_strided=fuse_strided,
-                     assume_dense_mask=assume_dense_mask)
+                     assume_dense_mask=assume_dense_mask,
+                     strided_sel=strided_sel)
 
 
 def _post_s2t(model, variables, y, stride_mask, *, temporal_precision,
               stacked_temporal, fmb, temporal_impl, temporal_attn,
               temporal_attn_precision, eff_wpt, fuse_strided,
-              assume_dense_mask):
+              assume_dense_mask, strided_sel=False):
     """Masked-token substitution + temporal PE + fused temporal stack + tail.
 
     y: (B, N, temporal_d) spatial_to_temporal output (pre-substitution).
@@ -235,11 +237,13 @@ def _post_s2t(model, variables, y, stride_mask, *, temporal_precision,
 
     if temporal_impl == "v3":
         from ..ops.pallas_temporal_v3 import fused_temporal_stack_v3
-        epilogue, ep_ops = None, ()
+        epilogue, ep_ops, out_width = None, (), 0
         if fuse_strided:
             from ..ops.pallas_strided import (_OP_ORDER,
                                               make_strided_b1_epilogue,
                                               make_strided_b1_epilogue_banded,
+                                              make_strided_b1_epilogue_sel,
+                                              make_strided_sel,
                                               stack_strided_block1_params)
             sops = stack_strided_block1_params(params, model.num_frames,
                                                weights_dtype=jnp.float32,
@@ -258,11 +262,26 @@ def _post_s2t(model, variables, y, stride_mask, *, temporal_precision,
                 for w in range(eff_wpt):
                     valid[0, w * s_pad: w * s_pad + model.num_frames] = 1.0
                 ep_list.append(jnp.asarray(valid))
-            ep_ops = tuple(ep_list)
             if temporal_attn == "banded":
+                ep_ops = tuple(ep_list)
                 epilogue = make_strided_b1_epilogue_banded(
                     model.num_heads, eff_wpt, s_pad, model.temporal_d_model)
+            elif b1_pads == (0, 0) and strided_sel:
+                # Selection epilogue: the stride-s0 lane selection runs as
+                # one-hot dots INSIDE the kernel, so the output (and its XLA
+                # transpose) shrink R/n_out ≈ 3× (h36m_351: 72 → 23 lanes
+                # per window).
+                s0 = model.strides[0]
+                n_out = (model.num_frames - 3) // s0 + 1
+                sels = tuple(
+                    make_strided_sel(eff_wpt, s_pad, s0, n_out, shift=j)
+                    for j in range(3))
+                ep_ops = tuple(ep_list) + sels
+                epilogue = make_strided_b1_epilogue_sel(
+                    model.num_heads, eff_wpt, s_pad, model.temporal_d_model)
+                out_width = eff_wpt * n_out
             else:
+                ep_ops = tuple(ep_list)
                 epilogue = make_strided_b1_epilogue(
                     model.num_heads, eff_wpt, s_pad, model.temporal_d_model,
                     paddings=b1_pads)
@@ -273,7 +292,7 @@ def _post_s2t(model, variables, y, stride_mask, *, temporal_precision,
             precision=temporal_precision, windows_per_tile=eff_wpt,
             attn_mode=temporal_attn if temporal_attn == "banded" else "full",
             epilogue=epilogue, epilogue_ops=ep_ops,
-            attn_precision=temporal_attn_precision)
+            attn_precision=temporal_attn_precision, out_width=out_width)
     else:
         y = fused_temporal_stack(
             y, stacked_temporal, inv_mask, num_blocks=model.temporal_depth,
@@ -285,7 +304,8 @@ def _post_s2t(model, variables, y, stride_mask, *, temporal_precision,
         s0 = model.strides[0]
         p0, p1 = (int(model.paddings[0][0]), int(model.paddings[0][1]))
         n_out = (model.num_frames + p0 + p1 - 3) // s0 + 1
-        y = y[:, : (n_out - 1) * s0 + 1: s0]
+        if y.shape[1] != n_out:  # selection epilogue already picked lanes
+            y = y[:, : (n_out - 1) * s0 + 1: s0]
         tail = model.clone(temporal_input=True, strided_entry=1)
     else:
         tail = model.clone(temporal_input=True)
@@ -300,7 +320,8 @@ def shared_spatial_forward(model: UpliftUpsampleTransformer, variables,
                            stacked_temporal=None, temporal_impl: str = "v3",
                            temporal_wpt: int = 4, temporal_attn: str = "full",
                            temporal_attn_precision=None,
-                           assume_dense_mask: bool = False):
+                           assume_dense_mask: bool = False,
+                           strided_sel: bool = False):
     """Fused eval forward with a cross-window SHARED spatial stage.
 
     In the window-sparse strided eval protocol, consecutive computed windows
@@ -345,4 +366,5 @@ def shared_spatial_forward(model: UpliftUpsampleTransformer, variables,
                      temporal_impl=temporal_impl, temporal_attn=temporal_attn,
                      temporal_attn_precision=temporal_attn_precision,
                      eff_wpt=eff_wpt, fuse_strided=fuse_strided,
-                     assume_dense_mask=assume_dense_mask)
+                     assume_dense_mask=assume_dense_mask,
+                     strided_sel=strided_sel)

@@ -303,6 +303,59 @@ def make_strided_b1_epilogue(num_heads: int, wpt: int, s: int, c: int,
     return epilogue
 
 
+def make_strided_b1_epilogue_sel(num_heads: int, wpt: int, s: int, c: int):
+    """Full-softmax strided-block-1 epilogue with in-kernel lane selection.
+
+    The selection twin of `make_strided_b1_epilogue` for paddings (0,0)
+    (h36m_351/amass geometry): instead of returning the full (C, R) pre-
+    selection output — which the wrapper then transposes through XLA
+    (226 MB each way at B=2048) only for the caller to keep the 23 of 72
+    lanes per window at u = stride·t — the lane shifts AND the stride
+    selection collapse into three one-hot selection dots
+    (`make_strided_sel` with shifts 0/1/2) and the kernel writes only
+    (C, wpt·n_out):
+
+        out[:, w·n_out + t] = x[u+1] + c0[u] + c1[u+1] + c2[u+2] + bias,
+        u = w·s + stride·t
+
+    — identical math to shl(x,1)+conv+bias followed by the caller's
+    u = stride·t slice (reference StridedMLP k3/pad-0 semantics,
+    uplift_upsample_transformer.py:67-89,139-152). Expects the `_OP_ORDER`
+    operands (pe un-tiled (C, s), tiled in-kernel like the non-sel
+    epilogue) followed by sel0, sel1, sel2.
+    """
+    depth = c // num_heads
+
+    def epilogue(x, ep_refs, ln, ones_row, dot, dot_tt, dot_nt, padmask):
+        (ln1_g, ln1_b, wqkv, bqkv, wp, bp, ln2_g, ln2_b,
+         w1, b1, wc0, wc1, wc2, bc, pe, sel0, sel1, sel2) = ep_refs
+        pe_t = jnp.concatenate([pe[:].astype(jnp.float32)] * wpt, axis=1)
+        x = x + pe_t
+        y = ln(x, ones_row, ln1_g[:], ln1_b[:], 1e-5)
+        qkv = dot(wqkv[:].astype(jnp.float32), y) + bqkv[:]
+        ctx_parts = []
+        for h in range(num_heads):
+            qh = qkv[h * depth:(h + 1) * depth]  # scale folded in wqkv
+            kh = qkv[c + h * depth: c + (h + 1) * depth]
+            vh = qkv[2 * c + h * depth: 2 * c + (h + 1) * depth]
+            logits = dot_tt(qh, kh) + padmask
+            m = jnp.max(logits, axis=1, keepdims=True)
+            ex = jnp.exp(logits - m)
+            wgt = ex / jnp.sum(ex, axis=1, keepdims=True)
+            ctx_parts.append(dot_nt(vh, wgt))
+        ctx = jnp.concatenate(ctx_parts, axis=0)
+        x = x + dot(wp[:].astype(jnp.float32), ctx) + bp[:]
+        z = ln(x, ones_row, ln2_g[:], ln2_b[:], 1e-5)
+        h1 = jnp.maximum(dot(w1[:].astype(jnp.float32), z) + b1[:], 0.0)
+        c0 = dot(wc0[:].astype(jnp.float32), h1)
+        c1 = dot(wc1[:].astype(jnp.float32), h1)
+        c2 = dot(wc2[:].astype(jnp.float32), h1)
+        return (dot(x + c1, sel1[:]) + dot(c0, sel0[:]) + dot(c2, sel2[:])
+                + bc[:])
+
+    return epilogue
+
+
 def make_strided_sel(wpt: int, s: int, stride: int, n_out: int,
                      shift: int = 0):
     """(R, wpt·n_out) one-hot lane selector: column w·n_out + t picks lane

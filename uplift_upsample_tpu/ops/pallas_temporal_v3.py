@@ -339,7 +339,7 @@ def _transposed_operands(stacked: Dict, num_blocks: int, weights_dtype,
 @functools.partial(jax.jit, static_argnames=(
     "num_blocks", "num_heads", "first_masked_blocks", "windows_per_tile",
     "activation", "weights_dtype", "precision", "attn_mode", "token_pad_to",
-    "epilogue", "attn_precision"))
+    "epilogue", "attn_precision", "out_width"))
 def fused_temporal_stack_v3(x: jax.Array, stacked: Dict,
                             key_mask: Optional[jax.Array] = None, *,
                             num_blocks: int, num_heads: int,
@@ -353,11 +353,17 @@ def fused_temporal_stack_v3(x: jax.Array, stacked: Dict,
                             prepped_ops=None,
                             epilogue=None,
                             epilogue_ops=(),
-                            attn_precision=None) -> jax.Array:
+                            attn_precision=None,
+                            out_width: int = 0) -> jax.Array:
     """x: (B, S, C) → (B, S, C) through the fused transformer stack.
 
     key_mask: (B, S), 1/True = blocked key, applied to the first
     `first_masked_blocks` blocks; the S→8-pad token is always blocked.
+
+    out_width: with a selection epilogue (make_strided_b1_epilogue_sel),
+    the last kernel group writes only (C, out_width = wpt·n_out) selected
+    lanes instead of the full (C, R) — the output transpose then moves
+    ~R/n_out× fewer bytes — and the return shape is (B, n_out, C).
 
     weights_dtype f32 with DEFAULT dots is the parity-default: on TPU the MXU
     rounds f32 DEFAULT dots to 1-pass bf16 anyway (same arithmetic as bf16
@@ -483,13 +489,14 @@ def fused_temporal_stack_v3(x: jax.Array, stacked: Dict,
             fixed_args = (blkdiag, keyrow, padrow_full, ones_row)
         in_specs = fixed_specs + [full(op) for op in grp_ops] \
             + [full(op) for op in ep_ops]
+        ow = out_width if (last_group and out_width) else r
         out = pl.pallas_call(
             kernel,
             grid=(n_tiles,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, c, r), lambda i: (i, 0, 0),
+            out_specs=pl.BlockSpec((1, c, ow), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n_tiles, c, r), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((n_tiles, c, ow), jnp.float32),
             # Lane-padded (n,1) column operands + weights overflow the 16 MB
             # default scoped-VMEM budget, silently demoting operands to
             # streaming; raise the cap (proven safe by the backward kernel).
@@ -497,6 +504,10 @@ def fused_temporal_stack_v3(x: jax.Array, stacked: Dict,
                 vmem_limit_bytes=64 * 1024 * 1024),
         )(out, *fixed_args, *grp_ops, *ep_ops)
         done += n_grp
+    if out_width:
+        # Selection epilogue: (n_tiles, C, wpt·n_out) → (B, n_out, C)
+        n_out = out_width // wpt
+        return out.transpose(0, 2, 1).reshape(b, n_out, c)
     return out.transpose(0, 2, 1).reshape(b, s, c)[:, :s_in]
 
 
