@@ -276,6 +276,57 @@ def main():
             return losses[-1]
         sec = slope(loop, y0)
 
+    elif v in ("tail", "tail_nohead1", "tail_strided1"):
+        # DIRECT XLA-tail fwd+bwd (the round-6 decomposition's ~12.5 ms was
+        # grad − spatial − temporal, a subtraction — this measures the stage
+        # itself): the temporal_input splice (strided stack + heads) plus a
+        # production-shaped loss, under the train rung's precision context.
+        #   tail          full tail: strided blocks + head1 (full seq) +
+        #                 head2 (central) + both loss terms
+        #   tail_nohead1  central head + loss only (full_output cloned off)
+        #                 → head1's share by subtraction
+        #   tail_strided1 strided_entry=1 splice (blocks 2+ only)
+        #                 → block 1's share by subtraction
+        n = model.num_frames
+        mid_f = n // 2
+        kwargs = {"temporal_input": True}
+        if v == "tail_nohead1":
+            kwargs["full_output"] = False
+        if v == "tail_strided1":
+            kwargs["strided_entry"] = 1
+        tail_model = model.clone(**kwargs)
+        rng = np.random.default_rng(0)
+        n_in = n
+        if v == "tail_strided1":
+            s0 = model.strides[0]
+            n_in = (n - 3) // s0 + 1
+        y0 = jnp.asarray(rng.normal(size=(b, n_in, model.temporal_d_model))
+                         .astype(np.float32) * 0.3)
+        sm = batch[7]
+        seq_gt, central_gt = batch[0], batch[0][:, mid_f]
+
+        def tail_loss(p, y):
+            full, central = tail_model.apply({"params": p}, y,
+                                             stride_mask=sm, training=False)
+            loss = jnp.mean(jnp.sqrt(jnp.sum(
+                (central - central_gt) ** 2, axis=-1) + 1e-12))
+            if full is not None:
+                loss += jnp.mean(jnp.sqrt(jnp.sum(
+                    (full - seq_gt[:, : full.shape[1]]) ** 2, axis=-1)
+                    + 1e-12))
+            return loss
+
+        grad_fn = jax.value_and_grad(tail_loss, argnums=(0, 1))
+
+        @partial(jax.jit, static_argnums=1)
+        def loop(y_in, m):
+            def body(y, _):
+                loss, (gp, gy) = grad_fn(params, y)
+                return y + 1e-30 * gy, loss
+            y, losses = jax.lax.scan(body, y_in, None, length=m)
+            return losses[-1]
+        sec = slope(loop, y0)
+
     else:
         raise ValueError(f"unknown variant {v!r}")
 
