@@ -482,6 +482,12 @@ def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d
     sparse_state = [None, False]  # sparse_rows_to_compute carry
 
     shared_fallbacks = [0]
+    # Wall-time attribution of the eval loop's phases (one summary line at
+    # the end — the full-scale dress rehearsal showed the CLI is host-bound
+    # and subtraction-free phase timers are the only way to see where).
+    timing = {"batcher": 0.0, "sparse_pack": 0.0, "dedup": 0.0,
+              "upload_dispatch": 0.0, "gt_extract": 0.0, "fetch_scatter": 0.0,
+              "interp": 0.0, "metrics": 0.0}
 
     def flush(force=False):
         bs = config.BATCH_SIZE
@@ -498,19 +504,25 @@ def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d
                 from .utils.dedup import dedup_rows
                 n_seq = xb.shape[1]
                 xm = xb * smb[:, :, None, None].astype(xb.dtype)
+                t0 = time.perf_counter()
                 uniq, inv = dedup_rows(xm.reshape(bs * n_seq, -1))
+                timing["dedup"] += time.perf_counter() - t0
                 if len(uniq) <= u_max:
                     uq = np.zeros((u_max,) + xm.shape[2:], xm.dtype)
                     uq[:len(uniq)] = uniq.reshape((-1,) + xm.shape[2:])
                     idx = inv.reshape(bs, n_seq).astype(np.int32)
+                    t0 = time.perf_counter()
                     _, pred = shared_step(jnp.asarray(uq), jnp.asarray(idx),
                                           jnp.asarray(smb))
+                    timing["upload_dispatch"] += time.perf_counter() - t0
                 else:
                     # more unique frames than the static step capacity (many
                     # sequence restarts in one batch) — dense step fallback
                     shared_fallbacks[0] += 1
             if pred is None:
+                t0 = time.perf_counter()
                 _, pred = test_step(jnp.asarray(xb), jnp.asarray(smb))
+                timing["upload_dispatch"] += time.perf_counter() - t0
             pred_parts.append((pred, np.asarray(pend_pos[:take]), take))
             del pend_x[:take], pend_sm[:take], pend_pos[:take]
             if not force:
@@ -522,7 +534,13 @@ def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d
     # resolves the rung itself) — no outer context needed here.
     num_batches = int(np.ceil(num_examples / config.BATCH_SIZE))
     fast = FastH36mBatcher(generator, batch_size=config.BATCH_SIZE)
-    for batch in itertools.islice(fast.batches(), num_batches):
+    batch_iter = iter(itertools.islice(fast.batches(), num_batches))
+    while True:
+        t0 = time.perf_counter()
+        batch = next(batch_iter, None)
+        timing["batcher"] += time.perf_counter() - t0
+        if batch is None:
+            break
         seq3d, seq2d, seq_mask, cams, subjects, actions, indices, stride_masks = batch
 
         include = min(config.BATCH_SIZE, num_examples - examples)
@@ -537,12 +555,14 @@ def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d
                     f"stride mask has {int(counts.max())} keyframes, "
                     f"bound {max_kf} — MASK_STRIDE/window derivation "
                     f"out of sync with the generator")
+            t0 = time.perf_counter()
             rows = sparse_rows_to_compute(indices[:include], kf_stride,
                                           sparse_state)
             for r in rows:
                 pend_x.append(seq2d[r])
                 pend_sm.append(stride_masks[r])
                 pend_pos.append(examples + int(r))
+            timing["sparse_pack"] += time.perf_counter() - t0
             flush()
         else:
             _, pred = test_step(jnp.asarray(seq2d), jnp.asarray(stride_masks))
@@ -551,11 +571,15 @@ def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d
             # at the end.
             pred_parts.append((pred, np.arange(examples, examples + include),
                                include))
-        seq3d = seq3d - seq3d[:, :, root:root + 1, :]
-        gt_central.extend(seq3d[:include, mid_index])
+        t0 = time.perf_counter()
+        # Only the central frame feeds the metrics — avoid the full-window
+        # (B, N, 17, 3) root-subtract for a (B, 17, 3) slice.
+        central3d = seq3d[:include, mid_index]
+        gt_central.append(central3d - central3d[:, root:root + 1, :])
         gt_subjects.extend(subjects[:include])
-        gt_actions.extend(actions[:include])
-        gt_indices.extend(indices[:include])
+        gt_actions.append(np.asarray(actions[:include]))
+        gt_indices.append(np.asarray(indices[:include]))
+        timing["gt_extract"] += time.perf_counter() - t0
         examples += include
     if window_sparse:
         flush(force=True)
@@ -563,15 +587,17 @@ def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d
         log(f"Shared-spatial: {shared_fallbacks[0]} batch(es) exceeded the "
             f"{u_max}-unique-frame capacity and used the dense step")
 
-    gt_central = np.stack(gt_central, axis=0).astype(np.float64)
+    gt_central = np.concatenate(gt_central, axis=0).astype(np.float64)
     gt_central = np.concatenate(
         [gt_central, np.ones(gt_central.shape[:-1] + (1,))], axis=-1)
     pred_central = np.zeros((num_examples, config.NUM_KEYPOINTS, 3), np.float64)
+    t0 = time.perf_counter()
     for pred, positions, count in pred_parts:
         pred_central[positions] = np.asarray(
             jax.device_get(pred))[:count].astype(np.float64)
-    gt_actions = np.stack(gt_actions, axis=0)
-    gt_indices = np.stack(gt_indices, axis=0)
+    timing["fetch_scatter"] += time.perf_counter() - t0
+    gt_actions = np.concatenate(gt_actions, axis=0)
+    gt_indices = np.concatenate(gt_indices, axis=0)
 
     full_pred = np.copy(pred_central)
     if config.SEQUENCE_STRIDE > 1 and config.TEST_STRIDED_EVAL:
@@ -579,16 +605,20 @@ def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d
         strides = np.tile([config.SEQUENCE_STRIDE], reps=(gt_indices.shape[0]))
         if config.EVAL_DISABLE_LEARNED_UPSAMPLING and config.MASK_STRIDE is not None:
             strides[:] = config.MASK_STRIDE
+        t0 = time.perf_counter()
         interp_pred, _ = interpolate_between_keyframes(
             pred3d=full_pred, frame_indices=gt_indices, keyframe_stride=strides)
+        timing["interp"] += time.perf_counter() - t0
         eval_pred = interp_pred
     else:
         eval_pred = full_pred
 
     log("\n### Evaluation on ALL FRAMES ####\n")
+    t0 = time.perf_counter()
     all_frames = compute_and_log_metrics(
         pred3d=eval_pred, gt3d=gt_central, actions=gt_actions,
         root_index=root, action_wise=action_wise)
+    timing["metrics"] += time.perf_counter() - t0
 
     keyframes_results = None
     if (config.SEQUENCE_STRIDE > 1
@@ -601,7 +631,12 @@ def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d
             pred3d=full_pred[keyframes], gt3d=gt_central[keyframes],
             actions=gt_actions[keyframes], root_index=root, action_wise=action_wise)
 
-    log(f"Finished evaluation in {format_time(time.time() - start)}")
+    total = time.time() - start
+    attributed = sum(timing.values())
+    log("Eval wall attribution: "
+        + " ".join(f"{k}={v:.1f}s" for k, v in timing.items())
+        + f" other={total - attributed:.1f}s total={total:.1f}s")
+    log(f"Finished evaluation in {format_time(total)}")
     return all_frames, keyframes_results
 
 
