@@ -93,19 +93,52 @@ def compute_similarity_transform(X, Y, compute_optimal_scale=True):
     return d, Z, T, b, c
 
 
+def _procrustes_align_batched(pred, gt3d):
+    """Batched Procrustes alignment of pred onto gt3d (optimal rotation +
+    scale + translation; the math of `compute_similarity_transform` with
+    compute_optimal_scale=True, vectorized over the batch via stacked
+    3x3 LAPACK SVDs — the per-example python loop cost 257 s over the 2.1M
+    full-scale rows, round-9 eval attribution)."""
+    muX = gt3d.mean(axis=1, keepdims=True)
+    muY = pred.mean(axis=1, keepdims=True)
+    X0, Y0 = gt3d - muX, pred - muY
+    normX = np.sqrt(np.square(X0).sum(axis=(1, 2), keepdims=True))
+    normY = np.sqrt(np.square(Y0).sum(axis=(1, 2), keepdims=True))
+    X0, Y0 = X0 / normX, Y0 / normY
+    A = X0.transpose(0, 2, 1) @ Y0                      # (M, 3, 3)
+    U, s, Vt = np.linalg.svd(A, full_matrices=False)
+    V = Vt.transpose(0, 2, 1)
+    # Reflection guard: force det(T) = +1 (same sign rule as the loop)
+    detT = np.linalg.det(V @ U.transpose(0, 2, 1))
+    sign = np.sign(detT)
+    V = V.copy()
+    V[:, :, -1] *= sign[:, None]
+    s = s.copy()
+    s[:, -1] *= sign
+    T = V @ U.transpose(0, 2, 1)
+    traceTA = s.sum(axis=1)
+    return normX * traceTA[:, None, None] * (Y0 @ T) + muX
+
+
 def pmpjpe(pred, gt, normalize=True):
     """Procrustes-aligned MPJPE (optimal rotation + scale + translation)."""
     gt3d = gt[:, :, :3]
     valid = gt[:, :, 3] > 0
 
-    aligned = np.empty_like(pred)
-    for i, (p, g) in enumerate(zip(pred, gt3d)):
-        try:
-            _, p_aligned, _, _, _ = compute_similarity_transform(X=g, Y=p, compute_optimal_scale=True)
-            aligned[i] = p_aligned
-        except np.linalg.LinAlgError:
-            print("Warning: SVD did not converge during PAMPJPE")
-            aligned[i] = p
+    try:
+        aligned = _procrustes_align_batched(pred, gt3d)
+    except np.linalg.LinAlgError:
+        # Rare non-convergence: fall back to the per-example reference loop
+        # (which downgrades only the offending rows).
+        aligned = np.empty_like(pred)
+        for i, (p, g) in enumerate(zip(pred, gt3d)):
+            try:
+                _, p_aligned, _, _, _ = compute_similarity_transform(
+                    X=g, Y=p, compute_optimal_scale=True)
+                aligned[i] = p_aligned
+            except np.linalg.LinAlgError:
+                print("Warning: SVD did not converge during PAMPJPE")
+                aligned[i] = p
 
     dist = np.linalg.norm(aligned - gt3d, ord=2, axis=-1)
     if not normalize:
