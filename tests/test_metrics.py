@@ -140,3 +140,30 @@ def test_pmpjpe_batched_matches_reference_loop():
         np.testing.assert_allclose(batched[i], ref_aligned,
                                    rtol=1e-10, atol=1e-12,
                                    err_msg=f"row {i}")
+
+
+def test_interpolation_vectorized_matches_loop():
+    """Vectorized interpolate_between_keyframes must be bit-identical to the
+    reference per-row loop across random sequence-restart/keyframe layouts,
+    including leading non-keyframes and per-frame stride arrays."""
+    from uplift_upsample_tpu.utils.eval_protocol import (
+        _interpolate_loop, interpolate_between_keyframes)
+
+    rng = np.random.default_rng(43)
+    for case in range(8):
+        m = int(rng.integers(1, 400))
+        # random frame-index stream with restarts: concatenated ascending runs
+        idx, start = [], int(rng.integers(0, 7))
+        while len(idx) < m:
+            run = int(rng.integers(1, 60))
+            first = int(rng.integers(0, 5))
+            idx.extend(range(first, first + run))
+        idx = np.asarray(idx[:m])
+        stride = (int(rng.integers(1, 6)) if case % 2 == 0
+                  else rng.integers(1, 6, size=m))
+        pred = rng.normal(size=(m, 17, 3))
+        got, kf = interpolate_between_keyframes(pred, idx, stride)
+        ref_kf = np.equal(np.mod(idx, stride), 0)
+        ref = _interpolate_loop(pred, idx, ref_kf)
+        np.testing.assert_array_equal(kf, ref_kf, err_msg=f"case {case}")
+        np.testing.assert_array_equal(got, ref, err_msg=f"case {case}")

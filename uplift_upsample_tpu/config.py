@@ -302,6 +302,16 @@ class UpliftUpsampleConfig(Config):
     # per-forward activation footprint at unchanged BATCH_SIZE; on
     # memory-tight devices set False (two-call path) or halve BATCH_SIZE.
     EVAL_TTA_BATCHED = True
+    # Pack the shared-spatial step's three per-flush host→device transfers
+    # (unique frames f32, window indices i32, stride masks bool) into ONE
+    # flat f32 upload, split/cast inside the jitted step. Exact: indices are
+    # < 2^24 (f32-representable), masks are 0/1. Motivation: through the
+    # PJRT relay each upload RPC has a large fixed cost — the round-9
+    # full-scale attribution measured upload_dispatch ≈ 1.79 s/flush ≈ the
+    # whole host budget; on direct-attached hosts this is one DMA instead
+    # of three (harmless). Single-device path only (a mesh eval keeps
+    # per-array shardings).
+    EVAL_PACKED_UPLOAD = True
     # Device-resident train feed ("auto" | bool): upload the concatenated
     # pose store(s) to the device once and materialize window batches inside
     # the jitted train step from per-row plans (gather indices + masks +

@@ -460,6 +460,23 @@ def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d
                     max(config.BATCH_SIZE + u_extra, config.SEQUENCE_LENGTH))
         u_max = -(-u_max // 8) * 8
 
+    # One flat upload per flush instead of three (see EVAL_PACKED_UPLOAD in
+    # config.py — through the relay each upload RPC has a large fixed cost).
+    packed_step = None
+    if shared and mesh is None and bool(getattr(config, "EVAL_PACKED_UPLOAD",
+                                                True)):
+        _bs, _n = config.BATCH_SIZE, config.SEQUENCE_LENGTH
+        _k = config.NUM_KEYPOINTS
+        _n_uq = u_max * _k * 2
+        _shared_inner = shared_step
+
+        @jax.jit
+        def packed_step(flat):
+            uq = flat[:_n_uq].reshape(u_max, _k, 2)
+            idx = flat[_n_uq:_n_uq + _bs * _n].reshape(_bs, _n).astype(jnp.int32)
+            smb = flat[_n_uq + _bs * _n:].reshape(_bs, _n) > 0.5
+            return _shared_inner(uq, idx, smb)
+
     log(f"Running evaluation on '{test_subset}' with {num_examples} examples")
     start = time.time()
     mid_index = config.SEQUENCE_LENGTH // 2
@@ -512,8 +529,16 @@ def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d
                     uq[:len(uniq)] = uniq.reshape((-1,) + xm.shape[2:])
                     idx = inv.reshape(bs, n_seq).astype(np.int32)
                     t0 = time.perf_counter()
-                    _, pred = shared_step(jnp.asarray(uq), jnp.asarray(idx),
-                                          jnp.asarray(smb))
+                    if packed_step is not None:
+                        flat = np.concatenate([
+                            uq.ravel(),
+                            idx.ravel().astype(np.float32),
+                            np.asarray(smb, np.float32).ravel()])
+                        _, pred = packed_step(jnp.asarray(flat))
+                    else:
+                        _, pred = shared_step(jnp.asarray(uq),
+                                              jnp.asarray(idx),
+                                              jnp.asarray(smb))
                     timing["upload_dispatch"] += time.perf_counter() - t0
                 else:
                     # more unique frames than the static step capacity (many

@@ -66,16 +66,10 @@ def frame_wise_eval(pred_3d, gt_3d, root_index):
     return {name: _average(arr) for name, arr in zip(METRIC_NAMES, per_frame)}
 
 
-def interpolate_between_keyframes(pred3d, frame_indices, keyframe_stride):
-    """Linear interpolation of central-frame predictions between keyframes.
-
-    Predictions are dataset-ordered; a non-increasing frame index marks a new
-    video sequence. Keyframes are frames whose index is divisible by
-    `keyframe_stride` (scalar or per-frame array); non-keyframes between two
-    keyframes are linearly interpolated, trailing frames copy the last keyframe.
-    """
+def _interpolate_loop(pred3d, frame_indices, keyframes):
+    """Reference per-row implementation (the vectorized path's ground truth;
+    kept for the exactness test)."""
     interp3d = np.copy(pred3d)
-    keyframes = np.equal(np.mod(frame_indices, keyframe_stride), 0)
     last_keyframe = None
     for i, (f, is_keyframe) in enumerate(zip(frame_indices, keyframes)):
         if i > 0 and f <= frame_indices[i - 1]:
@@ -87,10 +81,56 @@ def interpolate_between_keyframes(pred3d, frame_indices, keyframe_stride):
                     interp3d[k] = pred3d[last_keyframe] * (1.0 - w_right) + pred3d[i] * w_right
             last_keyframe = i
         elif last_keyframe is not None:
-            # A sequence normally starts on a keyframe (globally aligned stride
-            # masks); if it doesn't, keep the raw prediction rather than crash
-            # (the reference would fault here, action_wise_eval.py:99).
             interp3d[i] = pred3d[last_keyframe]
+    return interp3d
+
+
+def interpolate_between_keyframes(pred3d, frame_indices, keyframe_stride):
+    """Linear interpolation of central-frame predictions between keyframes.
+
+    Predictions are dataset-ordered; a non-increasing frame index marks a new
+    video sequence. Keyframes are frames whose index is divisible by
+    `keyframe_stride` (scalar or per-frame array); non-keyframes between two
+    keyframes are linearly interpolated, trailing frames copy the last
+    keyframe, frames before a sequence's first keyframe keep the raw
+    prediction (a sequence normally starts on a keyframe — globally aligned
+    stride masks; the reference would fault here, action_wise_eval.py:99).
+
+    Vectorized (accumulate-based fills; the per-row loop cost ~16 s over the
+    2.1M full-scale rows — kept as `_interpolate_loop` for the exactness
+    test): same weights in the same expression order, bit-identical output.
+    """
+    frame_indices = np.asarray(frame_indices)
+    m = frame_indices.shape[0]
+    keyframes = np.equal(np.mod(frame_indices, keyframe_stride), 0)
+    if m == 0:
+        return np.copy(pred3d), keyframes
+    rows = np.arange(m)
+    restart = np.zeros(m, dtype=bool)
+    restart[1:] = frame_indices[1:] <= frame_indices[:-1]
+    seq_id = np.cumsum(restart)
+
+    # Previous keyframe row (inclusive), forward-filled; -1 = none yet.
+    prev = np.maximum.accumulate(np.where(keyframes, rows, -1))
+    prev_ok = (prev >= 0) & (seq_id[np.maximum(prev, 0)] == seq_id)
+    # Next keyframe row (inclusive), backward-filled; m = none ahead.
+    nxt_rev = np.minimum.accumulate(np.where(keyframes, rows, m)[::-1])[::-1]
+    nxt = np.minimum(nxt_rev, m - 1)
+    nxt_ok = (nxt_rev < m) & (seq_id[nxt] == seq_id)
+
+    interp3d = np.copy(pred3d)
+    # Middle rows: between two keyframes of the same sequence.
+    mid = ~keyframes & prev_ok & nxt_ok
+    if np.any(mid):
+        p, q, r = prev[mid], nxt_rev[mid], rows[mid]
+        w_right = (r - p) / (q - p)
+        w = w_right.reshape((-1,) + (1,) * (pred3d.ndim - 1))
+        interp3d[mid] = pred3d[p] * (1.0 - w) + pred3d[q] * w
+    # Trailing rows: a previous keyframe but no following one — copy it.
+    trail = ~keyframes & prev_ok & ~nxt_ok
+    if np.any(trail):
+        interp3d[trail] = pred3d[prev[trail]]
+    # Leading rows (no previous keyframe): keep the raw prediction.
     return interp3d, keyframes
 
 

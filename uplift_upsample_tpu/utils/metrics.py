@@ -7,6 +7,14 @@ no fast f64, and the published numbers are computed in double precision.
 GT arrays are (B, K, 4) in (x, y, z, valid) format; predictions are (B, K, 3).
 With `normalize=False` the per-example per-joint distances are returned, with
 -1 marking invalid GT joints.
+
+Implementation note (round-9 full-scale attribution): on this host, numpy
+ops whose inner loop spans only the size-3 coordinate axis (fancy-index
+root broadcasts, `norm(axis=-1)`, `sum(axis=(1,2))`) run ~10× slower than
+their contiguous reformulations (slice-broadcast `np.subtract(..., out=)`,
+`einsum` row-dots on (B, K·3) views). The reformulations below are
+term-for-term the same sums (bit-equal or last-ulp identical) and cut the
+2.1M-row metrics phase from ~250 s to ~30 s.
 """
 
 from __future__ import annotations
@@ -14,13 +22,33 @@ from __future__ import annotations
 import numpy as np
 
 
+def _sub_root(a, root_index):
+    """a - a[:, root] via slice-broadcast with an explicit out (the
+    fancy-index form `a - a[:, [root]]` is ~13× slower on tiny inner dims)."""
+    out = np.empty_like(a)
+    np.subtract(a, a[:, root_index: root_index + 1, :], out=out)
+    return out
+
+
+def _rownorm(d):
+    """||d||₂ over the last (xyz) axis: einsum square-sum + sqrt (identical
+    3-term sums to norm(axis=-1), ~7× faster here)."""
+    return np.sqrt(np.einsum("mkc,mkc->mk", d, d))
+
+
+def _rowdot(a, b):
+    """Σ over (K, 3) of a·b as one contiguous row dot."""
+    m = a.shape[0]
+    return np.einsum("mi,mi->m", a.reshape(m, -1), b.reshape(m, -1))
+
+
 def mpjpe(pred, gt, root_index, normalize=True):
     """Root-aligned mean per-joint position error."""
     gt3d = gt[:, :, :3]
     valid = gt[:, :, 3] > 0
-    gt3d = gt3d - gt3d[:, [root_index], :]
-    pred3d = pred - pred[:, [root_index], :]
-    dist = np.linalg.norm(pred3d - gt3d, ord=2, axis=-1)
+    gt3d = _sub_root(np.ascontiguousarray(gt3d), root_index)
+    pred3d = _sub_root(pred, root_index)
+    dist = _rownorm(pred3d - gt3d)
     if not normalize:
         return np.where(valid, dist, -1.0)
     return np.sum(np.where(valid, dist, 0.0)) / float(np.sum(valid))
@@ -30,14 +58,14 @@ def optimal_scaling(pred3d, target3d, valid_mask):
     """Per-example least-squares scale factor s minimizing ||s*pred - target||²."""
     v = valid_mask[:, :, np.newaxis]
     tm, pm = target3d * v, pred3d * v
-    nom = np.sum(pm * tm, axis=(1, 2))
-    denom = np.sum(pm * pm, axis=(1, 2))
+    nom = _rowdot(pm, tm)
+    denom = _rowdot(pm, pm)
     return pred3d * (nom / denom)[:, np.newaxis, np.newaxis]
 
 
 def nmpjpe(pred, gt, root_index, alignment="root", normalize=True):
     """Scale-normalized MPJPE with root or mean alignment."""
-    gt3d = gt[:, :, :3]
+    gt3d = np.ascontiguousarray(gt[:, :, :3])
     valid = gt[:, :, 3] > 0
 
     if alignment == "mean":
@@ -46,11 +74,11 @@ def nmpjpe(pred, gt, root_index, alignment="root", normalize=True):
         gt3d = gt3d - (np.sum(gt3d * v, axis=1) / normalizer[:, np.newaxis])[:, np.newaxis, :]
         pred3d = pred - (np.sum(pred * v, axis=1) / normalizer[:, np.newaxis])[:, np.newaxis, :]
     else:
-        gt3d = gt3d - gt3d[:, [root_index], :]
-        pred3d = pred - pred[:, [root_index], :]
+        gt3d = _sub_root(gt3d, root_index)
+        pred3d = _sub_root(pred, root_index)
 
     pred3d = optimal_scaling(pred3d=pred3d, target3d=gt3d, valid_mask=valid)
-    dist = np.linalg.norm(pred3d - gt3d, ord=2, axis=-1)
+    dist = _rownorm(pred3d - gt3d)
     if not normalize:
         return np.where(valid, dist, -1.0)
     return np.sum(np.where(valid, dist, 0.0)) / float(np.sum(valid))
@@ -99,11 +127,12 @@ def _procrustes_align_batched(pred, gt3d):
     compute_optimal_scale=True, vectorized over the batch via stacked
     3x3 LAPACK SVDs — the per-example python loop cost 257 s over the 2.1M
     full-scale rows, round-9 eval attribution)."""
+    m = pred.shape[0]
     muX = gt3d.mean(axis=1, keepdims=True)
     muY = pred.mean(axis=1, keepdims=True)
     X0, Y0 = gt3d - muX, pred - muY
-    normX = np.sqrt(np.square(X0).sum(axis=(1, 2), keepdims=True))
-    normY = np.sqrt(np.square(Y0).sum(axis=(1, 2), keepdims=True))
+    normX = np.sqrt(_rowdot(X0, X0))[:, None, None]
+    normY = np.sqrt(_rowdot(Y0, Y0))[:, None, None]
     X0, Y0 = X0 / normX, Y0 / normY
     A = X0.transpose(0, 2, 1) @ Y0                      # (M, 3, 3)
     U, s, Vt = np.linalg.svd(A, full_matrices=False)
@@ -122,7 +151,7 @@ def _procrustes_align_batched(pred, gt3d):
 
 def pmpjpe(pred, gt, normalize=True):
     """Procrustes-aligned MPJPE (optimal rotation + scale + translation)."""
-    gt3d = gt[:, :, :3]
+    gt3d = np.ascontiguousarray(gt[:, :, :3])
     valid = gt[:, :, 3] > 0
 
     try:
@@ -140,7 +169,7 @@ def pmpjpe(pred, gt, normalize=True):
                 print("Warning: SVD did not converge during PAMPJPE")
                 aligned[i] = p
 
-    dist = np.linalg.norm(aligned - gt3d, ord=2, axis=-1)
+    dist = _rownorm(aligned - gt3d)
     if not normalize:
         return np.where(valid, dist, -1.0)
     return np.sum(np.where(valid, dist, 0.0)) / float(np.sum(valid))
