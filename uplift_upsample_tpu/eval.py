@@ -460,21 +460,40 @@ def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d
                     max(config.BATCH_SIZE + u_extra, config.SEQUENCE_LENGTH))
         u_max = -(-u_max // 8) * 8
 
-    # One flat upload per flush instead of three (see EVAL_PACKED_UPLOAD in
-    # config.py — through the relay each upload RPC has a large fixed cost).
+    # One flat BYTE upload per flush instead of three array RPCs (see
+    # EVAL_PACKED_UPLOAD in config.py): uq as raw f32 bytes, window indices
+    # as int16 (u_max < 32768), stride masks bit-packed — 1.58 MB → 0.71 MB
+    # per flush. Through the relay, upload cost ≈ 50 ms fixed per RPC plus
+    # tens of ms/MB (measured round-9), so both the RPC count and the bytes
+    # matter; on direct-attached hosts this is one DMA instead of three.
     packed_step = None
-    if shared and mesh is None and bool(getattr(config, "EVAL_PACKED_UPLOAD",
-                                                True)):
+    if (shared and mesh is None and u_max < 2 ** 15
+            and bool(getattr(config, "EVAL_PACKED_UPLOAD", True))):
         _bs, _n = config.BATCH_SIZE, config.SEQUENCE_LENGTH
         _k = config.NUM_KEYPOINTS
-        _n_uq = u_max * _k * 2
+        _a = u_max * _k * 2 * 4              # uq f32 bytes
+        _b = _a + _bs * _n * 2               # idx int16 bytes
+        _nbits = -(-_bs * _n // 8)           # smb packbits (little order)
         _shared_inner = shared_step
 
+        def _pack_host(uq, idx, smb):
+            return np.concatenate([
+                uq.astype(np.float32, copy=False).view(np.uint8).ravel(),
+                idx.astype(np.int16).view(np.uint8).ravel(),
+                np.packbits(np.asarray(smb, bool).ravel(),
+                            bitorder="little")])
+
         @jax.jit
-        def packed_step(flat):
-            uq = flat[:_n_uq].reshape(u_max, _k, 2)
-            idx = flat[_n_uq:_n_uq + _bs * _n].reshape(_bs, _n).astype(jnp.int32)
-            smb = flat[_n_uq + _bs * _n:].reshape(_bs, _n) > 0.5
+        def packed_step(flat_u8):
+            uq = jax.lax.bitcast_convert_type(
+                flat_u8[:_a].reshape(u_max * _k * 2, 4),
+                jnp.float32).reshape(u_max, _k, 2)
+            idx = jax.lax.bitcast_convert_type(
+                flat_u8[_a:_b].reshape(_bs * _n, 2),
+                jnp.int16).astype(jnp.int32).reshape(_bs, _n)
+            bits = flat_u8[_b:_b + _nbits]
+            smb = ((bits[:, None] >> jnp.arange(8, dtype=jnp.uint8)) & 1)
+            smb = smb.reshape(-1)[: _bs * _n].reshape(_bs, _n) > 0
             return _shared_inner(uq, idx, smb)
 
     log(f"Running evaluation on '{test_subset}' with {num_examples} examples")
@@ -530,11 +549,8 @@ def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d
                     idx = inv.reshape(bs, n_seq).astype(np.int32)
                     t0 = time.perf_counter()
                     if packed_step is not None:
-                        flat = np.concatenate([
-                            uq.ravel(),
-                            idx.ravel().astype(np.float32),
-                            np.asarray(smb, np.float32).ravel()])
-                        _, pred = packed_step(jnp.asarray(flat))
+                        _, pred = packed_step(jnp.asarray(_pack_host(
+                            uq, idx, smb)))
                     else:
                         _, pred = shared_step(jnp.asarray(uq),
                                               jnp.asarray(idx),
