@@ -156,3 +156,30 @@ def test_bench_mask_matches_generator_protocol():
             bench = ((center + t_off) % s_in) == 0
             np.testing.assert_array_equal(bench, ref,
                                           err_msg=f"s_in={s_in} center={center}")
+
+
+def test_h36m_fast_batcher_central_3d_only(h36m_flat):
+    """central_3d_only must return seq3d (B, 1, K, 3) equal to the full
+    batcher's central column, with every other column bit-identical (the
+    eval feed mode — the loop only reads central-frame 3D ground truth)."""
+    cams, p3d, p2d, _, subj, act, frates = h36m_flat
+    make = lambda: H36mSequenceGenerator(
+        p3d, p2d, camera_params=cams, subjects=subj, actions=act,
+        frame_rates=frates, split="t",
+        flip_lr_indices=H36MOrder17P.flip_lr_indices(),
+        verbose=False, **H36M_CASES["zeros_pad"])
+    batch_size = 32
+    full_it = FastH36mBatcher(make(), batch_size=batch_size).batches()
+    cent_it = FastH36mBatcher(make(), batch_size=batch_size,
+                              central_3d_only=True).batches()
+    for b in range(4):
+        full = next(full_it)
+        cent = next(cent_it)
+        mid = full[0].shape[1] // 2
+        assert cent[0].shape == (batch_size, 1) + full[0].shape[2:]
+        np.testing.assert_array_equal(cent[0][:, 0], full[0][:, mid],
+                                      err_msg=f"batch {b} central 3D")
+        for col in range(1, len(full)):
+            np.testing.assert_array_equal(np.asarray(cent[col]),
+                                          np.asarray(full[col]),
+                                          err_msg=f"batch {b} col {col}")

@@ -142,10 +142,15 @@ class FastH36mBatcher:
     """
 
     def __init__(self, generator: H36mSequenceGenerator, batch_size: int,
-                 n_threads: int = 0):
+                 n_threads: int = 0, central_3d_only: bool = False):
         self.gen = generator
         self.batch_size = batch_size
         self.n_threads = n_threads
+        # Eval-feed mode: materialize only the CENTRAL row of each 3D
+        # window (seq3d comes back (B, 1, K, 3)) — the eval loop reads just
+        # the central-frame ground truth, and the full (B, N, K, 3) gather
+        # is ~60% of the batcher's bytes at the flagship geometry.
+        self.central_3d_only = central_3d_only
         self.store3d, self.offsets = _concatenate_store(generator.poses_3d)
         self.store2d, offsets2 = _concatenate_store(generator.poses_2d)
         assert np.array_equal(self.offsets, offsets2)
@@ -178,7 +183,14 @@ class FastH36mBatcher:
     def _gather_slice(self, plan, sl):
         do_flip = plan["do_flip"][sl].astype(np.uint8)
         zf = None if plan["zero_fill"] is None else plan["zero_fill"][sl]
-        seq3d = gather_windows(self.store3d, plan["abs_indices"][sl], zf, do_flip,
+        idx3 = plan["abs_indices"][sl]
+        zf3 = zf
+        if self.central_3d_only:
+            mid = idx3.shape[1] // 2
+            idx3 = np.ascontiguousarray(idx3[:, mid: mid + 1])
+            zf3 = None if zf is None else np.ascontiguousarray(
+                zf[:, mid: mid + 1])
+        seq3d = gather_windows(self.store3d, idx3, zf3, do_flip,
                                self.flip_perm, n_threads=self.n_threads)
         seq2d = gather_windows(self.store2d, plan["abs_indices"][sl], zf, do_flip,
                                self.flip_perm, n_threads=self.n_threads)

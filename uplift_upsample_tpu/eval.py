@@ -574,7 +574,11 @@ def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d
     # is bound inside the step functions at trace time (make_test_step
     # resolves the rung itself) — no outer context needed here.
     num_batches = int(np.ceil(num_examples / config.BATCH_SIZE))
-    fast = FastH36mBatcher(generator, batch_size=config.BATCH_SIZE)
+    # central_3d_only: the loop reads only the central-frame 3D ground
+    # truth, so skip materializing the other N-1 rows of every 3D window
+    # (~60% of the batcher's gather bytes at the flagship geometry).
+    fast = FastH36mBatcher(generator, batch_size=config.BATCH_SIZE,
+                           central_3d_only=True)
     batch_iter = iter(itertools.islice(fast.batches(), num_batches))
     while True:
         t0 = time.perf_counter()
@@ -614,8 +618,9 @@ def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d
                                include))
         t0 = time.perf_counter()
         # Only the central frame feeds the metrics — avoid the full-window
-        # (B, N, 17, 3) root-subtract for a (B, 17, 3) slice.
-        central3d = seq3d[:include, mid_index]
+        # (B, N, 17, 3) root-subtract for a (B, 17, 3) slice. Works for both
+        # 3D widths (full N or the batcher's central_3d_only single row).
+        central3d = seq3d[:include, seq3d.shape[1] // 2]
         gt_central.append(central3d - central3d[:, root:root + 1, :])
         gt_subjects.extend(subjects[:include])
         gt_actions.append(np.asarray(actions[:include]))
