@@ -308,3 +308,35 @@ def test_eval_data_parallel_matches_single_device():
             np.testing.assert_allclose(
                 sharded[metric], value, atol=1e-4, rtol=1e-7,
                 err_msg=f"dp-eval section {section}/{metric}")
+
+
+def test_eval_packed_upload_matches_unpacked():
+    """EVAL_PACKED_UPLOAD (one uint8 byte-packed host→device transfer per
+    flush: f32 frame bytes + int16 indices + bit-packed masks) must be
+    bit-exact vs the three-array path — identical metrics on the shared
+    window-sparse protocol."""
+    if not os.path.exists(os.path.join(FIXTURE_DIR, "eval_parity.json")):
+        pytest.skip("run tools/make_eval_fixture.py")
+
+    config = UpliftUpsampleConfig(
+        config_file=os.path.join(FIXTURE_DIR, "eval_small_config.json"))
+    config.MASK_STRIDE = 5
+    config.EVAL_SHARED_SPATIAL = True
+    config.DATA_PARALLEL_DEVICES = 1
+
+    results = {}
+    for packed in (False, True):
+        config.EVAL_PACKED_UPLOAD = packed
+        results[packed] = run_eval(
+            config=config, dataset_name="h36m",
+            dataset_path=os.path.join(SYNTH_DIR, "data_3d_h36m.npz"),
+            dataset2d_path=os.path.join(SYNTH_DIR, "data_2d_h36m_synth.npz"),
+            test_subset="test",
+            weights_path=os.path.join(FIXTURE_DIR, "small_strided.h5"),
+            action_wise=True, verbose=False)
+
+    for section in (0, 1):  # all_frames, keyframes
+        for metric, v in results[False][section][0].items():
+            np.testing.assert_array_equal(
+                results[True][section][0][metric], v,
+                err_msg=f"packed-upload section {section}/{metric}")

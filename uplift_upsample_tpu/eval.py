@@ -638,9 +638,17 @@ def run_eval(config: UpliftUpsampleConfig, dataset_name, dataset_path, dataset2d
         [gt_central, np.ones(gt_central.shape[:-1] + (1,))], axis=-1)
     pred_central = np.zeros((num_examples, config.NUM_KEYPOINTS, 3), np.float64)
     t0 = time.perf_counter()
-    for pred, positions, count in pred_parts:
-        pred_central[positions] = np.asarray(
-            jax.device_get(pred))[:count].astype(np.float64)
+    if pred_parts:
+        # ONE device→host transfer for the whole run instead of one RPC per
+        # batch result (206 RPCs × ~50 ms fixed relay cost per stride at
+        # full scale): concatenate the per-batch predictions on device,
+        # fetch once, scatter on host.
+        all_pred = np.asarray(jax.device_get(
+            jnp.concatenate([p for p, _, _ in pred_parts], axis=0)))
+        bs = config.BATCH_SIZE
+        for i, (pred, positions, count) in enumerate(pred_parts):
+            rows = all_pred[i * bs: i * bs + count]
+            pred_central[positions] = rows.astype(np.float64)
     timing["fetch_scatter"] += time.perf_counter() - t0
     gt_actions = np.concatenate(gt_actions, axis=0)
     gt_indices = np.concatenate(gt_indices, axis=0)
