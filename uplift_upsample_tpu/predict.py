@@ -31,9 +31,42 @@ from .utils.eval_protocol import interpolate_between_keyframes
 from .utils.weights_h5 import load_keras_h5
 
 
+def make_predict_step(model, variables, config: UpliftUpsampleConfig,
+                      flip_tta: bool = True):
+    """ONE compiled step for all sequences of a run (building it inside
+    predict_sequence retraced per sequence). On TPU the fused eval pipeline
+    (Pallas spatial + merged temporal/strided kernels at the parity rung)
+    serves prediction too; elsewhere the XLA path (interpret-mode Pallas
+    would crawl)."""
+    from .utils.backend import is_tpu_backend
+
+    fused = None
+    if (is_tpu_backend() and model.spatial_depth > 0
+            and model.temporal_depth > 0):
+        fused = "full"
+    return make_test_step(
+        model, variables, flip_tta=flip_tta,
+        flip_lr_indices=config.AUGM_FLIP_KEYPOINT_ORDER,
+        fused=fused,
+        precision=(getattr(config, "EVAL_MATMUL_PRECISION", "high") or "high"
+                   if fused else None),
+        fused_spatial=bool(getattr(config, "USE_PALLAS_SPATIAL", False)))
+
+
 def predict_sequence(model, variables, config: UpliftUpsampleConfig,
-                     keypoints_2d: np.ndarray, flip_tta: bool = True) -> np.ndarray:
-    """(T, K, 2) normalized 2D → (T, K, 3) root-relative 3D (meters)."""
+                     keypoints_2d: np.ndarray, flip_tta: bool = True,
+                     step=None) -> np.ndarray:
+    """(T, K, 2) normalized 2D → (T, K, 3) root-relative 3D (meters).
+
+    Window-sparse (round-9): when the strided protocol interpolates between
+    keyframes (SEQUENCE_STRIDE > 1 + TEST_STRIDED_EVAL), non-keyframe
+    windows' predictions are completely overwritten by
+    `interpolate_between_keyframes` (a pure function of the keyframe rows,
+    and frame 0 is always a keyframe here), so only every stride-th window
+    is computed — identical output, 1/stride of the compute. Batches are
+    edge-padded to the static BATCH_SIZE (one compiled shape instead of a
+    recompile per distinct tail size).
+    """
     t, k, _ = keypoints_2d.shape
     dummy_3d = np.zeros((t, k, 3), dtype=np.float32)
     generator = H36mSequenceGenerator(
@@ -45,36 +78,45 @@ def predict_sequence(model, variables, config: UpliftUpsampleConfig,
         rand_shift_stride_mask=False, flip_augment=False, shuffle=False,
         verbose=False)
 
-    step = make_test_step(model, variables, flip_tta=flip_tta,
-                          flip_lr_indices=config.AUGM_FLIP_KEYPOINT_ORDER,
-                          fused_spatial=bool(getattr(config, "USE_PALLAS_SPATIAL", False)))
+    if step is None:
+        step = make_predict_step(model, variables, config, flip_tta=flip_tta)
 
-    preds, indices = [], []
-    batch_2d, batch_sm = [], []
-
-    def flush():
-        if not batch_2d:
-            return
-        seq2d = jnp.asarray(np.stack(batch_2d))
-        sm = jnp.asarray(np.stack(batch_sm))
-        _, central = step(seq2d, sm)
-        preds.extend(np.asarray(central))
-        batch_2d.clear()
-        batch_sm.clear()
-
+    rows_2d, rows_sm, indices = [], [], []
     for item in generator.next_epoch_iterator():
         _, seq2d, _, _, _, _, idx, stride_mask = item
-        batch_2d.append(seq2d)
-        batch_sm.append(stride_mask)
+        rows_2d.append(seq2d)
+        rows_sm.append(stride_mask)
         indices.append(idx)
-        if len(batch_2d) == config.BATCH_SIZE:
-            flush()
-    flush()
-
-    pred = np.stack(preds).astype(np.float64)
     indices = np.asarray(indices)
-    if config.SEQUENCE_STRIDE > 1 and config.TEST_STRIDED_EVAL:
-        strides = np.full(indices.shape[0], config.SEQUENCE_STRIDE)
+    n_rows = len(rows_2d)
+
+    interp = config.SEQUENCE_STRIDE > 1 and config.TEST_STRIDED_EVAL
+    compute = (np.flatnonzero(indices % config.SEQUENCE_STRIDE == 0)
+               if interp else np.arange(n_rows))
+
+    pred = np.zeros((n_rows, k, 3), np.float64)
+    bs = int(config.BATCH_SIZE)
+    device_parts = []
+    for lo in range(0, len(compute), bs):
+        sel = compute[lo: lo + bs]
+        x = np.stack([rows_2d[r] for r in sel])
+        sm = np.stack([rows_sm[r] for r in sel])
+        if len(sel) < bs:  # pad the tail to the one compiled shape
+            rep = (0, bs - len(sel))
+            x = np.pad(x, (rep, (0, 0), (0, 0), (0, 0)), mode="edge")
+            sm = np.pad(sm, (rep, (0, 0)), mode="edge")
+        _, central = step(jnp.asarray(x), jnp.asarray(sm))
+        device_parts.append((central, sel))
+    if device_parts:
+        # one device→host transfer for the whole sequence
+        all_central = np.asarray(jnp.concatenate(
+            [c for c, _ in device_parts], axis=0))
+        for i, (_, sel) in enumerate(device_parts):
+            pred[sel] = all_central[i * bs: i * bs + len(sel)].astype(
+                np.float64)
+
+    if interp:
+        strides = np.full(n_rows, config.SEQUENCE_STRIDE)
         pred, _ = interpolate_between_keyframes(pred, indices, strides)
     return pred.astype(np.float32)
 
@@ -99,6 +141,8 @@ def main(argv=None):
 
     model = build_uplift_upsample_transformer(config)
     variables = load_keras_h5(args.weights, model)
+    # ONE compiled step shared by every sequence of the run
+    step = make_predict_step(model, variables, config, flip_tta=args.flip_tta)
 
     data = np.load(args.input, allow_pickle=True)
     raw = data["positions_2d"]
@@ -111,7 +155,7 @@ def main(argv=None):
         if args.input_order == "vp3d":
             kps = kps[:, H36MOrder17POriginalOrder.to_our_17p_order()]
         out[name] = predict_sequence(model, variables, config, kps,
-                                     flip_tta=args.flip_tta)
+                                     flip_tta=args.flip_tta, step=step)
         print(f"{name}: {kps.shape[0]} frames -> 3D {out[name].shape}")
         sys.stdout.flush()
 
