@@ -81,14 +81,29 @@ def predict_sequence(model, variables, config: UpliftUpsampleConfig,
     if step is None:
         step = make_predict_step(model, variables, config, flip_tta=flip_tta)
 
-    rows_2d, rows_sm, indices = [], [], []
-    for item in generator.next_epoch_iterator():
-        _, seq2d, _, _, _, _, idx, stride_mask = item
-        rows_2d.append(seq2d)
-        rows_sm.append(stride_mask)
-        indices.append(idx)
-    indices = np.asarray(indices)
-    n_rows = len(rows_2d)
+    # Materialize the window rows through the vectorized batcher (native
+    # gather core; bit-identical to the per-item generator, central-only 3D
+    # since the dummy 3D is never read) — the per-item python loop was the
+    # host bottleneck at serving scale.
+    from .data.fast_batcher import FastH36mBatcher
+
+    n_rows = len(generator)
+    fast = FastH36mBatcher(generator, batch_size=min(n_rows, 512),
+                           central_3d_only=True)
+    parts_2d, parts_sm, parts_idx = [], [], []
+    have = 0
+    for batch in fast.batches():
+        _, seq2d_b, _, _, _, _, centers_b, sm_b = batch
+        take = min(len(seq2d_b), n_rows - have)
+        parts_2d.append(seq2d_b[:take])
+        parts_sm.append(sm_b[:take])
+        parts_idx.append(np.asarray(centers_b[:take]))
+        have += take
+        if have >= n_rows:
+            break
+    rows_2d = np.concatenate(parts_2d, axis=0)
+    rows_sm = np.concatenate(parts_sm, axis=0)
+    indices = np.concatenate(parts_idx, axis=0)
 
     interp = config.SEQUENCE_STRIDE > 1 and config.TEST_STRIDED_EVAL
     compute = (np.flatnonzero(indices % config.SEQUENCE_STRIDE == 0)
@@ -99,8 +114,8 @@ def predict_sequence(model, variables, config: UpliftUpsampleConfig,
     device_parts = []
     for lo in range(0, len(compute), bs):
         sel = compute[lo: lo + bs]
-        x = np.stack([rows_2d[r] for r in sel])
-        sm = np.stack([rows_sm[r] for r in sel])
+        x = rows_2d[sel]
+        sm = rows_sm[sel]
         if len(sel) < bs:  # pad the tail to the one compiled shape
             rep = (0, bs - len(sel))
             x = np.pad(x, (rep, (0, 0), (0, 0), (0, 0)), mode="edge")
