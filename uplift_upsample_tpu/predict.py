@@ -59,7 +59,8 @@ def predict_sequence(model, variables, config: UpliftUpsampleConfig,
     """(T, K, 2) normalized 2D → (T, K, 3) root-relative 3D (meters).
 
     Window-sparse (round-9): when the strided protocol interpolates between
-    keyframes (SEQUENCE_STRIDE > 1 + TEST_STRIDED_EVAL), non-keyframe
+    keyframes (SEQUENCE_STRIDE > 1 + TEST_STRIDED_EVAL — the reference
+    protocol of eval.py:209-222 / action_wise_eval.py:76-100), non-keyframe
     windows' predictions are completely overwritten by
     `interpolate_between_keyframes` (a pure function of the keyframe rows,
     and frame 0 is always a keyframe here), so only every stride-th window
